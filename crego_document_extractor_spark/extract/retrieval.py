@@ -1,0 +1,73 @@
+"""Embedding-guided retrieval (SURVEY.md §2 J2/T1/F13).
+
+The reference scores every candidate chunk against every parameter
+query with cosine similarity, sorts desc, takes top-3, filters >= 0.5
+and uses the best chunk (embeddings.py:73-136).  Only the argmax and
+its score are observable downstream, so the Spark operator computes
+exactly that: one vectorized ``pandas_udf`` over the per-document
+candidate array returning the best (candidate, score) per parameter —
+no shuffle, no per-row Python.
+
+The embedding itself is the deterministic hashed-feature vector from
+:mod:`..semantics` (replacing the reference's Ollama HTTP calls —
+sandboxed determinism is what its own consistency test demands,
+test_accuracy.py:79-115).  The UDF shares the exact scoring code with
+the oracle, so retrieval parity is by construction; the *consumption*
+of the retrieval result (chunk-aware extraction SQL) is independent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import semantics as S
+from ..specs import PARAMETER_SPECS, query_text
+
+#: JVM-side candidate pool: tables first, then text chunks, contents
+#: truncated to 1500 chars (crif.py:80-121)
+CANDIDATES_EXPR = (
+    "concat("
+    "transform(tables, t -> named_struct("
+    "  'ctype', 'table', 'ref_idx', t.id, "
+    f"  'content', substring(t.raw, 1, {S.MAX_CHUNK_CHARS}))), "
+    "transform(chunks, c -> named_struct("
+    "  'ctype', 'text', 'ref_idx', c.chunk_idx, "
+    f"  'content', substring(c.text, 1, {S.MAX_CHUNK_CHARS})))"
+    ")"
+)
+
+RETR_TYPE = T.ArrayType(T.StructType([
+    T.StructField("param_id", T.StringType()),
+    T.StructField("ctype", T.StringType()),
+    T.StructField("ref_idx", T.IntegerType()),
+    T.StructField("score", T.DoubleType()),
+]))
+
+_QUERY_VECS = [(spec["param_id"], S.embed(query_text(spec)))
+               for spec in PARAMETER_SPECS]
+
+
+@F.pandas_udf(RETR_TYPE)
+def best_chunks(cands: pd.Series) -> pd.Series:
+    out = []
+    for cand_list in cands:
+        cand_vecs = [S.embed(c["content"]) for c in cand_list]
+        row = []
+        for pid, qvec in _QUERY_VECS:
+            best_i, score = S.best_candidate(qvec, cand_vecs)
+            if best_i is None:
+                row.append({"param_id": pid, "ctype": None,
+                            "ref_idx": None, "score": None})
+            else:
+                c = cand_list[best_i]
+                row.append({"param_id": pid, "ctype": c["ctype"],
+                            "ref_idx": int(c["ref_idx"]), "score": score})
+        out.append(row)
+    return pd.Series(out)
+
+
+def with_retrieval(parsed_df):
+    """Add the per-parameter best-chunk column (zero-shuffle)."""
+    return parsed_df.withColumn("retr", best_chunks(F.expr(CANDIDATES_EXPR)))

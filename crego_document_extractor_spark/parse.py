@@ -1,0 +1,116 @@
+"""PARSE stage — the flagship vectorized Arrow UDF (north_star).
+
+``documents(doc_id, spans)`` → per-document parsed structure:
+
+* ``clean_spans``  boilerplate-stripped ordered spans (the correctness
+  invariant: span-sequence equality vs the oracle)
+* ``text``         rendered markdown-ish full text (parser.py:87)
+* ``tables``       ordered table structs, id=enumerate (parser.py:90-106)
+* ``chunks``       header-segmented chunks (parser.py:107-124)
+
+Implemented as ONE ``mapInPandas`` stage: Arrow-batched in and out, no
+per-row Python UDFs, no shuffle.  The Python body delegates to the
+shared pure-function core in :mod:`..semantics` so the parse semantics
+have a single definition.  All downstream extraction is JVM-side SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from . import semantics as S
+
+SPAN_TYPE = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+])
+
+TABLE_TYPE = T.StructType([
+    T.StructField("id", T.IntegerType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("columns", T.ArrayType(T.StringType())),
+    T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType()))),
+    T.StructField("raw", T.StringType()),
+])
+
+CHUNK_TYPE = T.StructType([
+    T.StructField("chunk_idx", T.IntegerType()),
+    T.StructField("header", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+PARSED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("doc_kind", T.StringType()),
+    T.StructField("n_spans", T.IntegerType()),
+    T.StructField("clean_spans", T.ArrayType(SPAN_TYPE)),
+    T.StructField("text", T.StringType()),
+    T.StructField("tables", T.ArrayType(TABLE_TYPE)),
+    T.StructField("chunks", T.ArrayType(CHUNK_TYPE)),
+])
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+])
+
+_KINDS = ("crif", "gstr", "html")
+
+
+def _doc_kind(doc_id: str) -> str:
+    head = doc_id.split("-", 1)[0]
+    return head if head in _KINDS else "other"
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [], "doc_kind": [], "n_spans": [],
+            "clean_spans": [], "text": [], "tables": [], "chunks": [],
+        }
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            span_dicts = [
+                {"kind": s["kind"], "text": s["text"],
+                 "media_ref": s["media_ref"], "offset": int(s["offset"])}
+                for s in spans
+            ]
+            cs = S.clean_spans(span_dicts)
+            tables = [
+                {"id": t["id"], "page": t["page"], "columns": t["columns"],
+                 "rows": t["rows"], "raw": t["raw"]}
+                for t in S.build_tables(cs)
+            ]
+            chunks = [
+                {"chunk_idx": c["chunk_idx"], "header": c["header"],
+                 "text": c["text"]}
+                for c in S.build_chunks(cs)
+            ]
+            out["doc_id"].append(doc_id)
+            out["doc_kind"].append(_doc_kind(doc_id))
+            out["n_spans"].append(len(span_dicts))
+            out["clean_spans"].append(cs)
+            out["text"].append(S.render_text(cs))
+            out["tables"].append(tables)
+            out["chunks"].append(chunks)
+        yield pd.DataFrame(out)
+
+
+def parse_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → parsed-document DataFrame.
+
+    Narrow (no shuffle); Arrow-batched; heavy-tailed docs bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    return docs.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
+
+
+def load_documents(spark, path: str) -> DataFrame:
+    """Scan the documents table (parquet; Iceberg at production scale —
+    SURVEY.md §2 S1)."""
+    return spark.read.parquet(path)
