@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+Headline set:
+* flagship — the full span-extraction pipeline (parse + boilerplate
+  strip + 17-parameter extraction) over a deterministic synthetic
+  corpus sized to the scale factor (the engine's real workload), plus
+* representative relational/dedup/similarity queries from
+  __spark_entry__ over the driver tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# corpus size scales with the scale factor (sf0.1 → 8000 docs)
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1] or "0.1")
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(400, int(80_000 * _SF)))))
+CORPUS = f"/tmp/spark_graft_bench_corpus_{N_DOCS}.parquet"
+
+
+def ensure_corpus() -> str:
+    from crego_document_extractor_spark import corpus
+    if not os.path.exists(CORPUS):
+        corpus.write_corpus(CORPUS, N_DOCS, seed=42, big_doc_every=97)
+    return CORPUS
+
+
+def main() -> None:
+    from crego_document_extractor_spark.session import get_spark
+    from crego_document_extractor_spark import pipeline
+    import __spark_entry__ as entrymod
+
+    path = ensure_corpus()
+    spark = get_spark(master=f"local[{CPUS}]")
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM/Arrow paths once so timings measure steady state
+    spark.read.parquet(path).limit(8).count()
+
+    docs_df = spark.read.parquet(path)
+    n_extracted = {}
+
+    def flagship():
+        spans_df, results_df = pipeline.run(docs_df)
+        n_extracted["spans"] = spans_df.select("doc_id").count()
+        n_extracted["rows"] = results_df.count()
+
+    timed("flagship_extraction", flagship)
+
+    qs = entrymod.queries()
+    for name in ("q_j1_broadcast_dim_join", "q_t1_topk_per_group",
+                 "q_a2_threshold_counts", "q_j2_cosine_topk",
+                 "q_p3_segmentation", "q_dedup_exact",
+                 "q_minhash_bands", "q_text_quality"):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(N_DOCS / timings["flagship_extraction"], 2)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "bench_docs": N_DOCS,
+        "extraction_docs_per_sec": docs_per_sec,
+        "parallelism": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All operators take a DataFrame with (doc_id: string, text: string) and
+stay JVM-side (higher-order array functions + hash), so they scale as
+ordinary shuffles:
+
+* exact         — content-hash groupBy (the reference's SHA256 cache
+                  key semantics, cache.py:28-30, as a dedup operator)
+* MinHash + LSH — shingle → seeded-min signatures → banded bucket join
+* SimHash       — per-bit token-hash majority vote
+* n-gram Jaccard — exact token-set overlap for candidate verification
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_duplicates(df: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts (hash-groupBy)."""
+    return (df.groupBy(F.sha2("text", 256).alias("content_key"))
+            .agg(F.collect_list("doc_id").alias("doc_ids"),
+                 F.count("*").alias("n"))
+            .where("n > 1"))
+
+
+def _shingles(tokens: str, k: int = 3) -> str:
+    return (f"array_distinct(transform("
+            f"sequence(1, greatest(size({tokens}) - {k - 1}, 0)), "
+            f"i -> concat_ws(' ', slice({tokens}, i, {k}))))")
+
+
+def minhash_signature(df: DataFrame, n_hashes: int = 16,
+                      shingle_k: int = 3) -> DataFrame:
+    """(doc_id, signature array<int>) — seeded murmur3 min over
+    k-token shingles."""
+    toks = "split(text, ' ')"
+    sig = ("array(" + ", ".join(
+        f"array_min(transform(sh, s -> hash(s, {seed})))"
+        for seed in range(n_hashes)) + ")")
+    return (df.withColumn("sh", F.expr(_shingles(toks, shingle_k)))
+            .where("size(sh) > 0")
+            .select("doc_id", F.expr(sig).alias("signature")))
+
+
+def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 16,
+                            bands: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate
+    pairs.  One shuffle on (band, band_hash); skew-safe because bucket
+    membership lists are bounded by near-duplicate group sizes."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, n_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
+        )).alias("band", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.band_hash") == F.col("b.band_hash")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .distinct())
+
+
+def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash bigint): bit b set when the majority of token
+    hashes have bit b set."""
+    toks = "split(text, ' ')"
+    expr = (f"aggregate(transform(sequence(0, {bits - 1}), b -> "
+            f"CASE WHEN size(filter({toks}, t -> ((hash(t) >> b) & 1) = 1)) * 2 "
+            f"> size({toks}) THEN shiftleft(1L, b) ELSE 0L END), "
+            f"0L, (acc, x) -> acc + x)")
+    return df.select("doc_id", F.expr(expr).alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
+                            prefix_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the low `prefix_bits` (the
+    LSH trick that avoids the full cross join), verify Hamming
+    distance JVM-side."""
+    s = simhash(df).withColumn(
+        "block", F.expr(f"simhash & {(1 << prefix_bits) - 1}"))
+    a, b = s.alias("a"), s.alias("b")
+    return (a.join(b, (F.col("a.block") == F.col("b.block")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+            .withColumn("hamming",
+                        F.expr("bit_count(a.simhash ^ b.simhash)"))
+            .where(F.col("hamming") <= max_hamming)
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"), "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        same_key: str | None = None) -> DataFrame:
+    """Exact token-set Jaccard via explode + self-join (verification
+    stage after LSH candidate generation)."""
+    d = df.select("doc_id",
+                  *( [same_key] if same_key else [] ),
+                  F.array_distinct(F.split("text", " ")).alias("toks"))
+    t = d.select("doc_id", *( [same_key] if same_key else [] ),
+                 F.explode("toks").alias("tok"))
+    sizes = d.select("doc_id", F.expr("size(toks)").alias("n"))
+    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if same_key:
+        cond = cond & (F.col(f"a.{same_key}") == F.col(f"b.{same_key}"))
+    pairs = (t.alias("a").join(t.alias("b"), cond)
+             .groupBy(F.col("a.doc_id").alias("d1"),
+                      F.col("b.doc_id").alias("d2"))
+             .agg(F.count("*").alias("common")))
+    return (pairs
+            .join(sizes.withColumnRenamed("doc_id", "d1")
+                  .withColumnRenamed("n", "n1"), "d1")
+            .join(sizes.withColumnRenamed("doc_id", "d2")
+                  .withColumnRenamed("n", "n2"), "d2")
+            .withColumn("jaccard", F.expr("common / (n1 + n2 - common)"))
+            .where(F.col("jaccard") >= threshold)
+            .select("d1", "d2", "jaccard"))
