@@ -59,9 +59,13 @@ def main() -> None:
     n_extracted = {}
 
     def flagship():
-        spans_df, results_df = pipeline.run(docs_df)
-        n_extracted["spans"] = spans_df.select("doc_id").count()
-        n_extracted["rows"] = results_df.count()
+        from crego_document_extractor_spark.parse import parse_documents
+        parsed = parse_documents(pipeline.ensure_parallelism(docs_df)).persist()
+        try:
+            n_extracted["spans"] = pipeline.clean_spans(parsed).count()
+            n_extracted["rows"] = pipeline.extract_parameters(parsed).count()
+        finally:
+            parsed.unpersist()
 
     timed("flagship_extraction", flagship)
 

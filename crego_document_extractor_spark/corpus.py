@@ -278,4 +278,5 @@ def write_corpus(path: str, n_docs: int, seed: int = 42,
     schema = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(span_t))])
     rows = list(gen_documents(n_docs, seed, big_doc_every))
     table = pa.Table.from_pylist(rows, schema=schema)
-    pq.write_table(table, path)
+    # small row groups keep single-file corpora splittable across tasks
+    pq.write_table(table, path, row_group_size=max(64, n_docs // 128))

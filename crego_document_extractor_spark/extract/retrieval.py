@@ -18,6 +18,7 @@ of the retrieval result (chunk-aware extraction SQL) is independent.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -45,8 +46,8 @@ RETR_TYPE = T.ArrayType(T.StructType([
     T.StructField("score", T.DoubleType()),
 ]))
 
-_QUERY_VECS = [(spec["param_id"], S.embed(query_text(spec)))
-               for spec in PARAMETER_SPECS]
+_PARAM_IDS = [spec["param_id"] for spec in PARAMETER_SPECS]
+_QUERY_MAT = np.stack([S.embed(query_text(spec)) for spec in PARAMETER_SPECS])
 
 
 @F.pandas_udf(RETR_TYPE)
@@ -54,9 +55,9 @@ def best_chunks(cands: pd.Series) -> pd.Series:
     out = []
     for cand_list in cands:
         cand_vecs = [S.embed(c["content"]) for c in cand_list]
+        retrieved = S.retrieve_best(_QUERY_MAT, cand_vecs)
         row = []
-        for pid, qvec in _QUERY_VECS:
-            best_i, score = S.best_candidate(qvec, cand_vecs)
+        for pid, (best_i, score) in zip(_PARAM_IDS, retrieved):
             if best_i is None:
                 row.append({"param_id": pid, "ctype": None,
                             "ref_idx": None, "score": None})

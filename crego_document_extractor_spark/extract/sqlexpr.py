@@ -30,11 +30,11 @@ def clean_number(v: str) -> str:
 def extract_field(text: str, field: str) -> str:
     """extract_field (crif_parser.py:177-183): first line containing
     `field` AND a ':' (a matching line without a colon is skipped and
-    the scan continues); value = text after that line's first ':'."""
-    line = (f"try_element_at(filter(split({text}, '\\n'), "
-            f"l -> contains(l, '{field}') AND instr(l, ':') > 0), 1)")
-    return (f"(CASE WHEN {line} IS NULL THEN '' "
-            f"ELSE trim(substring({line}, instr({line}, ':') + 1)) END)")
+    the scan continues); value = text after that line's first ':',
+    stripped.  Pure regexp — no per-field array allocation; this sits
+    in the per-account hot path."""
+    line = f"regexp_extract({text}, '(?m)^(?=.*{field}).*:.*$', 0)"
+    return f"regexp_extract({line}, '^[^:]*:\\\\s*(.*?)\\\\s*$', 1)"
 
 
 def payment_status(text: str, month: str) -> str:

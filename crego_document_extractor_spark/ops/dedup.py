@@ -44,12 +44,12 @@ def minhash_signature(df: DataFrame, n_hashes: int = 16,
 
 
 def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 16,
-                            bands: int = 4) -> DataFrame:
+                            bands: int = 4, shingle_k: int = 3) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate
     pairs.  One shuffle on (band, band_hash); skew-safe because bucket
     membership lists are bounded by near-duplicate group sizes."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, n_hashes)
+    sig = minhash_signature(df, n_hashes, shingle_k)
     banded = sig.select(
         "doc_id",
         F.posexplode(F.expr(

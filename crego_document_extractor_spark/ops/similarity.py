@@ -1,0 +1,91 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the query
+  set, score with JVM higher-order expressions (no Python), window
+  top-k.
+* LSH-bucketed ANN (random signed projections) — the scale path: only
+  candidates sharing a hash bucket are scored; probes = multiple
+  tables.  At 100 TB the bucket join replaces the O(Q×N) cross join
+  with O(Q×N/2^bits) per table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
+       "0.0d, (acc, v) -> acc + v)")
+NORM = "sqrt(aggregate({a}, 0.0d, (acc, v) -> acc + cast(v AS double) * cast(v AS double)))"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    na, nb = NORM.format(a=a), NORM.format(a=b)
+    d = DOT.format(a=a, b=b)
+    return (f"(CASE WHEN {na} = 0.0d OR {nb} = 0.0d THEN 0.0d "
+            f"ELSE {d} / ({na} * {nb}) END)")
+
+
+def brute_force_topk(items: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (queries broadcast)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = items.select(F.col(id_col).alias("cand_id"),
+                     F.col(vec_col).alias("cv"))
+    scored = (c.join(F.broadcast(q))
+              .where("query_id != cand_id")
+              .withColumn("sim", F.expr(cosine_expr("qv", "cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
+def _rand_proj_bits(vec_col: str, dim: int, bits: int, table_seed: int) -> str:
+    """Signed-random-projection bucket id: bit j = sign(v · r_j) with a
+    deterministic pseudo-random hyperplane r_j derived from
+    xxhash-style integer mixing (no stored projection matrix)."""
+    terms = []
+    for j in range(bits):
+        # pseudo-random ±1 weights per (table, bit, dimension)
+        proj = (f"aggregate(zip_with({vec_col}, "
+                f"sequence(0, {dim - 1}), (v, i) -> "
+                f"CASE WHEN (xxhash64(i * 2654435761 + {table_seed * bits + j})) % 2 = 0 "
+                f"THEN cast(v AS double) ELSE -cast(v AS double) END), "
+                f"0.0d, (a, x) -> a + x)")
+        terms.append(f"(CASE WHEN {proj} >= 0.0d THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(items: DataFrame, queries: DataFrame, k: int = 10,
+             bits: int = 8, n_tables: int = 2, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only bucket-sharing candidates across
+    `n_tables` independent hash tables."""
+    def bucketed(df, role):
+        out = []
+        for t in range(n_tables):
+            out.append(df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"{role[0]}v"),
+                F.lit(t).alias("tbl"),
+                F.expr(_rand_proj_bits(vec_col, dim, bits, t)).alias("bucket")))
+        res = out[0]
+        for o in out[1:]:
+            res = res.unionByName(o)
+        return res
+
+    q = bucketed(queries, "query")
+    c = bucketed(items, "cand")
+    cand = (q.join(c, ["tbl", "bucket"])
+            .where("query_id != cand_id")
+            .select("query_id", "qv", "cand_id", "cv")
+            .distinct())
+    scored = cand.withColumn("sim", F.expr(cosine_expr("qv", "cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "rank",
+                    F.round("sim", 6).alias("sim")))

@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data curation — all JVM-side
+scalar/higher-order expressions (no Python in the hot path).
+
+* language-ID (character n-gram heuristic over a small broadcast
+  profile table)
+* quality scoring (length / punctuation / stopword ratios)
+* token counting (whitespace + a BPE-ish subword regex estimate)
+* document fingerprinting (rolling polynomial hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+#: tiny trigram→language profile (deterministic heuristic stand-in; a
+#: real deployment would broadcast a fastText-style table)
+_LANG_MARKERS = {
+    "en": ["the ", " and ", " of "],
+    "de": ["der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " de los ", " y "],
+}
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-hit counts, 'und'
+    (undetermined) when nothing matches."""
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = " + ".join(
+            f"(size(split({text_col}, '{m}')) - 1)" for m in markers)
+        scores.append(f"named_struct('lang', '{lang}', 'hits', {hits})")
+    arr = "array(" + ", ".join(scores) + ")"
+    best = (f"try_element_at(array_sort({arr}, (l, r) -> "
+            f"CASE WHEN l.hits > r.hits THEN -1 WHEN l.hits < r.hits THEN 1 "
+            f"WHEN l.lang < r.lang THEN -1 ELSE 1 END), 1)")
+    return df.withColumn(
+        "lang_guess",
+        F.expr(f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END"))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band, alpha ratio,
+    stopword presence, mean word length band (Gopher-style filters)."""
+    toks = f"split({text_col}, '\\\\s+')"
+    n_toks = f"size({toks})"
+    stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_ratio = (f"size(filter({toks}, t -> lower(t) IN ({stop_set}))) / "
+                  f"cast(greatest({n_toks}, 1) AS double)")
+    alpha_ratio = (f"length(regexp_replace({text_col}, '[^a-zA-Z]', '')) / "
+                   f"cast(greatest(length({text_col}), 1) AS double)")
+    mean_word = (f"length(replace({text_col}, ' ', '')) / "
+                 f"cast(greatest({n_toks}, 1) AS double)")
+    return (df
+            .withColumn("n_tokens", F.expr(n_toks))
+            .withColumn("stopword_ratio", F.expr(f"round({stop_ratio}, 4)"))
+            .withColumn("alpha_ratio", F.expr(f"round({alpha_ratio}, 4)"))
+            .withColumn("mean_word_len", F.expr(f"round({mean_word}, 4)"))
+            .withColumn("quality_score", F.expr(
+                f"round((CASE WHEN {n_toks} BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) + "
+                f"(CASE WHEN {alpha_ratio} >= 0.6 THEN 0.25 ELSE 0.0 END) + "
+                f"(CASE WHEN {stop_ratio} >= 0.01 THEN 0.25 ELSE 0.0 END) + "
+                f"(CASE WHEN {mean_word} BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2)")))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (word pieces of
+    <=4 chars + digits/punct singles — a deterministic regex proxy for
+    tokenizer cost accounting)."""
+    ws = f"size(split({text_col}, '\\\\s+'))"
+    bpe = (f"aggregate(split({text_col}, '\\\\s+'), 0, "
+           f"(a, w) -> a + cast(ceil(length(w) / 4.0) AS int) + "
+           f"size(filter(split(w, ''), ch -> ch rlike '[^a-zA-Z0-9]')))")
+    return (df.withColumn("n_ws_tokens", F.expr(ws))
+            .withColumn("n_bpe_tokens_est", F.expr(bpe)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling hash over tokens — a document
+    fingerprint usable as a near-dup prefilter key.  Bitwise
+    combine (shift/xor) so ANSI mode can't overflow."""
+    expr = (f"aggregate(split({text_col}, '\\\\s+'), cast(1469598103934665603 AS bigint), "
+            f"(h, t) -> xxhash64(t) ^ shiftleft(h, 6) ^ shiftrightunsigned(h, 2))")
+    return df.withColumn("fingerprint", F.expr(expr))
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All of the above in one pass."""
+    out = with_lang_guess(df, text_col)
+    out = with_quality_score(out, text_col)
+    out = with_token_counts(out, text_col)
+    return with_fingerprint(out, text_col)

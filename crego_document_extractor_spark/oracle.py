@@ -28,7 +28,9 @@ from . import semantics as S
 from .specs import PARAMETER_SPECS, query_text
 
 # Precomputed query embeddings, one per spec (crif.py:136)
-_QUERY_VECS = {spec["param_id"]: S.embed(query_text(spec)) for spec in PARAMETER_SPECS}
+import numpy as _np
+
+_QUERY_MAT = _np.stack([S.embed(query_text(spec)) for spec in PARAMETER_SPECS])
 
 
 def _validate(spec: dict, value: Any) -> bool:
@@ -189,17 +191,18 @@ def extract_crif(parsed: dict) -> list[dict]:
     report = _report(parsed)
     cands = _candidates(parsed)
     cand_vecs = [S.embed(c["content"]) for c in cands]
+    retrieved = S.retrieve_best(_QUERY_MAT, cand_vecs)
     accounts = report["accounts"]
     rows = []
 
-    for spec in PARAMETER_SPECS:
+    for spec_i, spec in enumerate(PARAMETER_SPECS):
         pid = spec["param_id"]
         if spec["category"] == "policy":
             rows.append(_row(doc_id, pid, None, "Not applicable (policy parameter)",
                              0.0, "not_applicable", None))
             continue
 
-        best_i, score = S.best_candidate(_QUERY_VECS[pid], cand_vecs)
+        best_i, score = retrieved[spec_i]
         if best_i is None:
             rows.append(_row(doc_id, pid, None, "No relevant sections found",
                              0.0, "not_found", None))

@@ -27,6 +27,19 @@ __all__ = ["load_documents", "parse_documents", "clean_spans",
            "extract_parameters", "run", "formatted_output"]
 
 
+def ensure_parallelism(docs: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition CPU-bound small inputs up to the cluster's
+    parallelism.  Only for few-file/benchmark inputs: a production
+    10^12-document Iceberg table already provides file-level split
+    parallelism, and shuffling raw payloads at that scale would be the
+    bottleneck — so this is a no-op when the scan is already wide."""
+    spark = docs.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def clean_spans(parsed: DataFrame) -> DataFrame:
     """The span-equality deliverable (north_rule invariant)."""
     return parsed.select("doc_id", "clean_spans")
@@ -38,8 +51,10 @@ def extract_parameters(parsed: DataFrame) -> DataFrame:
     return extract_crif(parsed).unionByName(extract_gstr(parsed))
 
 
-def run(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def run(docs: DataFrame, repartition: bool = True) -> tuple[DataFrame, DataFrame]:
     """Full pipeline: returns (clean_spans_df, results_df)."""
+    if repartition:
+        docs = ensure_parallelism(docs)
     parsed = parse_documents(docs)
     return clean_spans(parsed), extract_parameters(parsed)
 

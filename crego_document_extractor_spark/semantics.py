@@ -473,14 +473,25 @@ EMBED_DIM = 64
 EMBED_MAX_CHARS = 1600  # embeddings.py:39
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+# token → (dim, sign) memo; bounded so long-lived executors can't grow
+# it without limit on high-cardinality numeric tokens
+_TOKEN_MEMO: dict[str, tuple[int, float]] = {}
+_TOKEN_MEMO_MAX = 1 << 20
 
-def _token_hash(tok: str) -> int:
-    """Deterministic 32-bit polynomial hash (stable across processes,
-    unlike Python's salted hash())."""
+
+def _token_feature(tok: str) -> tuple[int, float]:
+    """Deterministic FNV-1a 32-bit hash → (dimension, sign).  Stable
+    across processes (unlike Python's salted hash())."""
+    f = _TOKEN_MEMO.get(tok)
+    if f is not None:
+        return f
     h = 2166136261
     for ch in tok.encode("utf-8"):
         h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-    return h
+    f = (h % EMBED_DIM, 1.0 if (h >> 8) & 1 else -1.0)
+    if len(_TOKEN_MEMO) < _TOKEN_MEMO_MAX:
+        _TOKEN_MEMO[tok] = f
+    return f
 
 
 def embed(text: str) -> np.ndarray:
@@ -493,9 +504,8 @@ def embed(text: str) -> np.ndarray:
     """
     vec = np.zeros(EMBED_DIM, dtype=np.float64)
     for tok in _TOKEN_RE.findall(text[:EMBED_MAX_CHARS].lower()):
-        h = _token_hash(tok)
-        sign = 1.0 if (h >> 8) & 1 else -1.0
-        vec[h % EMBED_DIM] += sign
+        dim, sign = _token_feature(tok)
+        vec[dim] += sign
     return vec
 
 
@@ -516,14 +526,30 @@ def best_candidate(query_vec: np.ndarray, cand_vecs: list[np.ndarray]) -> tuple[
     """Stable-argmax + threshold: the observable effect of
     embeddings.py:73-136 (score all, stable sort desc, top-3, filter
     >= 0.5, take [0]).  Returns (candidate_index | None, best_score)."""
-    best_i, best_s = None, float("-inf")
-    for i, cv in enumerate(cand_vecs):
-        s = cosine(query_vec, cv)
-        if s > best_s:  # strict '>' == stable sort keeps first on ties
-            best_i, best_s = i, s
-    if best_i is None or best_s < SIMILARITY_THRESHOLD:
-        return None, (best_s if best_i is not None else 0.0)
-    return best_i, best_s
+    return retrieve_best(query_vec.reshape(1, -1), cand_vecs)[0]
+
+
+def retrieve_best(query_mat: np.ndarray,
+                  cand_vecs: list[np.ndarray]) -> list[tuple[Optional[int], float]]:
+    """Vectorized best_candidate for a whole query matrix (p×d) —
+    shared verbatim by the retrieval pandas_udf and the oracle so both
+    compute bit-identical scores.  np.argmax keeps the FIRST maximum,
+    matching the reference's stable sort (embeddings.py:85)."""
+    p = query_mat.shape[0]
+    if not cand_vecs:
+        return [(None, 0.0)] * p
+    m = np.stack(cand_vecs)  # n×d
+    qn = np.linalg.norm(query_mat, axis=1)
+    cn = np.linalg.norm(m, axis=1)
+    denom = qn[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom == 0.0, 0.0, (query_mat @ m.T) / denom)
+    out: list[tuple[Optional[int], float]] = []
+    for k in range(p):
+        i = int(np.argmax(sims[k]))
+        s = float(sims[k, i])
+        out.append((i, s) if s >= SIMILARITY_THRESHOLD else (None, s))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,43 @@
+"""Structured-streaming wrapper (SURVEY.md §2.9).
+
+The reference is strictly request/response batch; the streaming
+surface here is the idiomatic Spark equivalent of its API endpoint:
+a file-source stream of document batches where each micro-batch runs
+the IDENTICAL batch pipeline via ``foreachBatch`` — checkpointing (and
+therefore exactly-once file-level resume) comes from Spark's
+checkpointLocation, complementing the bucket-level lineage of
+:mod:`lineage` for the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from .parse import parse_documents, DOCUMENTS_SCHEMA
+from .pipeline import extract_parameters
+
+
+def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
+                   checkpoint_dir: str, available_now: bool = True):
+    """Stream documents(doc_id, spans) parquet files → results table.
+
+    Returns the StreamingQuery; with ``available_now`` the query drains
+    all currently-available files and stops (used for tests and
+    catch-up runs); without it, it runs continuously.
+    """
+    stream = (spark.readStream
+              .schema(DOCUMENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_dir))
+
+    def process(batch_df, batch_id: int) -> None:
+        results = extract_parameters(parse_documents(batch_df))
+        (results.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{output_dir}/results"))
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,118 @@
+"""Training-data-pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from crego_document_extractor_spark.ops import dedup, similarity, textstats, multimodal
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),      # exact dup of d1
+        ("d3", "the quick brown fox leaps over the lazy dog"),      # near dup
+        ("d4", "completely different content about spark engines"),
+        ("d5", "der schnelle braune fuchs und die faule katze und"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(text_df):
+    groups = dedup.exact_duplicates(text_df).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == ["d1", "d2"]
+
+
+def test_minhash_finds_near_dups(text_df):
+    pairs = {(r["d1"], r["d2"]) for r in
+             dedup.minhash_candidate_pairs(text_df, n_hashes=16, bands=16,
+                                           shingle_k=1).collect()}
+    assert ("d1", "d2") in pairs          # identical docs always collide
+    assert ("d1", "d3") in pairs or ("d2", "d3") in pairs  # near dup
+    assert ("d1", "d4") not in pairs
+
+
+def test_simhash_near_duplicates(text_df):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(text_df).collect()}
+    assert s["d1"] == s["d2"]
+    ham_13 = bin(s["d1"] ^ s["d3"]).count("1")
+    ham_14 = bin(s["d1"] ^ s["d4"]).count("1")
+    assert ham_13 < ham_14
+
+
+def test_ngram_jaccard(text_df):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(text_df, threshold=0.5).collect()}
+    assert pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs  # 8/10 shared distinct tokens
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    import numpy as np
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(30, 16).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(30)])
+    got = similarity.brute_force_topk(df, df.where("vec_id < 3"), k=5)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"]))
+    v = vecs.astype("float64")
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] *
+                        np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:5]
+        assert [c for _, c in sorted(got_map[q])] == order
+
+
+def test_lsh_topk_recall(spark):
+    import numpy as np
+    rng = np.random.RandomState(1)
+    base = rng.randn(100, 64).astype("float32")
+    # plant exact near-neighbors
+    base[50] = base[0] + rng.randn(64).astype("float32") * 0.01
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(100)])
+    got = similarity.lsh_topk(df, df.where("vec_id = 0"), k=5, bits=6, n_tables=4)
+    neighbors = [r["cand_id"] for r in got.orderBy("rank").collect()]
+    assert 50 in neighbors  # the planted near-dup must be found
+
+
+def test_textstats_profile(spark):
+    df = spark.createDataFrame(
+        [("d1", "the quick brown fox and the lazy dog went to the market"),
+         ("d2", "x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.profile(df).collect()}
+    assert out["d1"]["lang_guess"] == "en"
+    assert out["d1"]["n_tokens"] == 12
+    assert out["d1"]["stopword_ratio"] > 0.2
+    assert out["d1"]["quality_score"] >= 0.75
+    assert out["d2"]["quality_score"] <= 0.5
+    assert isinstance(out["d1"]["fingerprint"], int)
+    # fingerprint is order-sensitive
+    df2 = spark.createDataFrame(
+        [("r", "dog lazy the and fox brown quick the")], ["doc_id", "text"])
+    fp2 = textstats.with_fingerprint(df2).collect()[0]["fingerprint"]
+    assert fp2 != out["d1"]["fingerprint"]
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        Row(doc_id="d1", media_ref="img:1", media_kind="image",
+            payload=bytes(range(64)), meta={"fmt": "raw"}),
+        Row(doc_id="d1", media_ref="img:2", media_kind="image",
+            payload=bytes(range(64)), meta={"fmt": "raw"}),  # dup payload
+        Row(doc_id="d2", media_ref="aud:1", media_kind="audio",
+            payload=b"\x01\x02\x03", meta={}),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {r["media_ref"]: r for r in
+             multimodal.extract_media_features(media).collect()}
+    assert feats["img:1"]["n_bytes"] == 64
+    assert feats["img:1"]["content_key"] == feats["img:2"]["content_key"]
+    assert feats["img:1"]["width"] > 0 and feats["img:1"]["height"] > 0
+    assert len(feats["aud:1"]["feature"]) == 8
+    dups = multimodal.media_dedup_keys(media).collect()
+    assert len(dups) == 1 and dups[0]["n"] == 2

@@ -1,0 +1,44 @@
+"""Streaming wrapper: micro-batches reuse the batch pipeline; the
+checkpoint makes a restarted stream process only new files."""
+
+import os
+import shutil
+
+from crego_document_extractor_spark import corpus, pipeline, streaming
+
+
+def _results_set(df):
+    return sorted(
+        ((r["doc_id"], r["param_id"], r["value_num"], r["value_bool"],
+          r["value_str"], r["confidence"], r["status"])
+         for r in df.collect()),
+        key=lambda t: tuple(repr(x) for x in t))
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    corpus.write_corpus(f"{in_dir}/part1.parquet", 40, seed=7, big_doc_every=0)
+
+    q = streaming.stream_extract(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got1 = spark.read.parquet(f"{out_dir}/results")
+    batch1 = pipeline.extract_parameters(
+        pipeline.parse_documents(spark.read.parquet(f"{in_dir}/part1.parquet")))
+    assert _results_set(got1.drop("batch_id")) == _results_set(batch1)
+
+    # add a second file; restarted stream must process ONLY the new file
+    corpus.write_corpus(f"{in_dir}/part2.parquet", 30, seed=9, big_doc_every=0)
+    q2 = streaming.stream_extract(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+
+    got2 = spark.read.parquet(f"{out_dir}/results")
+    both = pipeline.extract_parameters(
+        pipeline.parse_documents(spark.read.parquet(in_dir)))
+    assert _results_set(got2.drop("batch_id")) == _results_set(both)
+
+    shutil.rmtree(out_dir)
