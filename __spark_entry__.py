@@ -313,6 +313,35 @@ def _q_lang_profile(spark, sf):
                  F.round(F.avg("n_chars"), 2).alias("avg_chars")))
 
 
+def _q_skew_salted_topk(spark, sf):
+    """Skew-salted two-phase aggregation: corpus token top-20 via
+    groupBy(token, salt) partial → groupBy(token) final (ops/skew.py);
+    result equals a plain group-count (the oracle)."""
+    d = _t(spark, sf, "documents")
+    toks = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+            .where("tok != ''"))
+    salted = toks.withColumn(
+        "salt", F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id())), F.lit(16)))
+    partial = salted.groupBy("tok", "salt").agg(F.count("*").alias("pc"))
+    final = partial.groupBy("tok").agg(F.sum("pc").alias("n"))
+    return final.orderBy(F.desc("n"), F.asc("tok")).limit(20)
+
+
+def _q_a5_active_loans_by_type_inline(spark, sf):
+    """A5: count_active_loans_by_type (crif_models.py:90-100) — count
+    active accounts whose type contains any of a substring list."""
+    return spark.sql("""
+        SELECT count(CASE WHEN is_active AND
+                 (contains(lower(acct_type), 'personal loan') OR
+                  contains(lower(acct_type), 'gold loan')) THEN 1 END) AS n_matching,
+               count(*) AS n_accounts
+        FROM VALUES ('Personal Loan', true), ('Unsecured Personal Loan', true),
+                    ('Personal Loan', false), ('Gold Loan', true),
+                    ('Credit Card', true), ('Business Loan', true)
+             AS t(acct_type, is_active)
+    """)
+
+
 def _q_minhash_bands(spark, sf):
     """Dedup (MinHash/LSH) — Spark-only (hash functions differ across
     engines); driver records the weaker rows-only check."""
@@ -350,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": _q_text_quality,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_lang_profile": _q_lang_profile,
+        "q_skew_salted_topk": _q_skew_salted_topk,
+        "q_a5_active_loans_by_type_inline": _q_a5_active_loans_by_type_inline,
         "q_minhash_bands": _q_minhash_bands,
         "q_simhash": _q_simhash,
     }
@@ -542,6 +573,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "q_skew_salted_topk": """
+            SELECT tok, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok != ''
+            GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+        """,
+        "q_a5_active_loans_by_type_inline": """
+            SELECT count(CASE WHEN is_active AND
+                     (contains(lower(acct_type), 'personal loan') OR
+                      contains(lower(acct_type), 'gold loan')) THEN 1 END) AS n_matching,
+                   count(*) AS n_accounts
+            FROM (VALUES ('Personal Loan', true), ('Unsecured Personal Loan', true),
+                         ('Personal Loan', false), ('Gold Loan', true),
+                         ('Credit Card', true), ('Business Loan', true))
+                 AS t(acct_type, is_active)
         """,
         # q_minhash_bands / q_simhash: engine-specific hash functions —
         # intentionally no oracle (rows-only check).

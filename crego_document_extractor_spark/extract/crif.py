@@ -184,13 +184,9 @@ def _derived_param(i: int, spec: dict) -> str:
                    "'int'", source, conf, "'extracted'", f"{best}.score")
 
 
-def extract_crif(parsed: DataFrame) -> DataFrame:
-    """parsed (doc_kind='crif') → long results table, one row per
-    (doc_id, param_id)."""
-    df = parsed.where(F.col("doc_kind") == "crif")
-    df = with_retrieval(df)
-
-    # report-level aggregates — all zero-shuffle higher-order exprs
+def _with_report(df: DataFrame) -> DataFrame:
+    """Report-level aggregates (parse_crif_report, crif_parser.py:7-25)
+    — all zero-shuffle higher-order exprs."""
     df = (
         df.withColumn("accounts", F.expr(X.ACCOUNTS))
         .withColumn("rep_score", F.expr(X.doc_score()))
@@ -204,6 +200,68 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     )
     for pid in X.FLAG_PREDS:
         df = df.withColumn(f"rep_m_{pid}", F.expr(X.flag_matched("accounts", pid)))
+    return df
+
+
+_LEGACY_WEIGHTS = {"direct": "0.95d", "flag": "0.85d", "derived": "1.0d"}
+
+
+def extract_crif_legacy(parsed: DataFrame) -> DataFrame:
+    """Legacy direct-parsing mode (crif_legacy.py:22-159,
+    USE_EMBEDDING_GUIDED_EXTRACTION=False): report-level values only,
+    direct_table/flag_detection/computed weights, no similarity boost,
+    formatter-default 'extracted' status everywhere (incl. policy)."""
+    df = _with_report(parsed.where(F.col("doc_kind") == "crif"))
+    results = []
+    for spec in PARAMETER_SPECS:
+        pid = spec["param_id"]
+        cat = spec["category"]
+        if cat == "policy":
+            results.append(_result(pid, *_NULLS[:3], "'null'",
+                                   "'Not applicable (policy parameter)'",
+                                   "0.0d", "'extracted'", _NULLS[3]))
+            continue
+        w = _LEGACY_WEIGHTS[cat]
+        if cat == "direct":
+            value = _DIRECT_REPORT_VALUE[pid]
+            valid = X.validity(value, spec["validator"])
+            conf = (f"(CASE WHEN {value} IS NULL THEN 0.0d "
+                    f"WHEN NOT {valid} THEN 0.0d ELSE {w} END)")
+            vtype = (f"(CASE WHEN {value} IS NULL THEN 'null' ELSE "
+                     f"'{'float' if spec['expected_type'] == 'float' else 'int'}' END)")
+            results.append(_result(pid, f"cast({value} AS double)", _NULLS[1],
+                                   _NULLS[2], vtype,
+                                   f"'{_DIRECT_LABEL[pid]}'", conf,
+                                   "'extracted'", _NULLS[3]))
+        elif cat == "flag":
+            m = f"rep_m_{pid}" if pid in X.FLAG_PREDS else "0"
+            value = f"({m} > 0)"
+            source = (f"concat('Account Remarks (', cast({m} AS string), '/', "
+                      f"cast(n_accounts AS string), ' accounts)')")
+            results.append(_result(pid, _NULLS[0], value, _NULLS[2], "'bool'",
+                                   source, w, "'extracted'", _NULLS[3]))
+        else:
+            value, vtype = _DERIVED_VALUE[pid]
+            source = "concat('Computed from ', cast(n_accounts AS string), ' accounts')"
+            if vtype == "bool":
+                results.append(_result(pid, _NULLS[0], f"({value})", _NULLS[2],
+                                       "'bool'", source, w, "'extracted'", _NULLS[3]))
+            else:
+                results.append(_result(pid, f"cast({value} AS double)",
+                                       _NULLS[1], _NULLS[2], "'int'", source,
+                                       w, "'extracted'", _NULLS[3]))
+    arr = "array(" + ", ".join(results) + ")"
+    return (df.select("doc_id", F.explode(F.expr(arr)).alias("r"))
+            .select("doc_id", *[f"r.{f}" for f in RESULT_FIELDS]))
+
+
+def extract_crif(parsed: DataFrame) -> DataFrame:
+    """parsed (doc_kind='crif') → long results table, one row per
+    (doc_id, param_id) — embedding-guided mode (the reference default,
+    config.py:58)."""
+    df = parsed.where(F.col("doc_kind") == "crif")
+    df = with_retrieval(df)
+    df = _with_report(df)
 
     # per-parameter best-chunk lookups + result structs
     results = []

@@ -268,6 +268,52 @@ def extract_crif(parsed: dict) -> list[dict]:
     return rows
 
 
+_LEGACY_WEIGHTS = {"direct": 0.95, "flag": 0.85, "derived": 1.0}
+
+
+def extract_crif_legacy(parsed: dict) -> list[dict]:
+    """Legacy direct-parsing mode (crif_legacy.py:22-159,
+    USE_EMBEDDING_GUIDED_EXTRACTION=False): report-level only, method
+    weights direct_table=0.95 / flag_detection=0.85 / computed=1.0, no
+    similarity boost, no status keys (formatter default 'extracted' —
+    including policy parameters, crif_legacy.py:134-139)."""
+    doc_id = parsed["doc_id"]
+    report = _report(parsed)
+    accounts = report["accounts"]
+    rows = []
+    for spec in PARAMETER_SPECS:
+        pid = spec["param_id"]
+        if spec["category"] == "policy":
+            rows.append(_row(doc_id, pid, None,
+                             "Not applicable (policy parameter)", 0.0,
+                             "extracted", None))
+            continue
+        if spec["category"] == "direct":
+            value, source = _direct_report_value(pid, report)
+        elif spec["category"] == "flag":
+            if pid in _FLAG_FNS:
+                fn = _FLAG_FNS[pid]
+                matched = sum(1 for a in accounts if fn(a["remarks"]))
+            else:
+                matched = 0
+            value = matched > 0
+            source = f"Account Remarks ({matched}/{len(accounts)} accounts)"
+        else:
+            if pid == "bureau_dpd_30":
+                value = sum(1 for a in accounts if a["worst_dpd"] >= 30)
+            elif pid == "bureau_dpd_60":
+                value = sum(1 for a in accounts if a["worst_dpd"] >= 60)
+            elif pid == "bureau_dpd_90":
+                value = sum(1 for a in accounts if a["worst_dpd"] >= 90)
+            else:
+                value = not any(S.is_live_pl_bl(a) for a in accounts)
+            source = f"Computed from {len(accounts)} accounts"
+        w = _LEGACY_WEIGHTS[spec["category"]]
+        conf = w if (value is not None and _validate(spec, value)) else 0.0
+        rows.append(_row(doc_id, pid, value, source, conf, "extracted", None))
+    return rows
+
+
 def extract_gstr(parsed: dict) -> list[dict]:
     doc_id = parsed["doc_id"]
     month = S.gstr_month(parsed["text"])

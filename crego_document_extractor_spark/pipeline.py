@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .parse import parse_documents, load_documents
-from .extract.crif import extract_crif
+from .extract.crif import extract_crif, extract_crif_legacy
 from .extract.gstr import extract_gstr
 
 __all__ = ["load_documents", "parse_documents", "clean_spans",
@@ -45,10 +45,13 @@ def clean_spans(parsed: DataFrame) -> DataFrame:
     return parsed.select("doc_id", "clean_spans")
 
 
-def extract_parameters(parsed: DataFrame) -> DataFrame:
+def extract_parameters(parsed: DataFrame, mode: str = "embedding") -> DataFrame:
     """Route by document kind (main.py:66-69) and union the long
-    results tables."""
-    return extract_crif(parsed).unionByName(extract_gstr(parsed))
+    results tables.  mode='embedding' is the reference default
+    (config.py:58); mode='legacy' is the direct-parsing path
+    (crif_legacy.py)."""
+    crif = extract_crif(parsed) if mode == "embedding" else extract_crif_legacy(parsed)
+    return crif.unionByName(extract_gstr(parsed))
 
 
 def run(docs: DataFrame, repartition: bool = True) -> tuple[DataFrame, DataFrame]:
