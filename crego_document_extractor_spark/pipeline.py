@@ -82,3 +82,40 @@ def formatted_output(results: DataFrame) -> DataFrame:
         .withColumn("overall_confidence_score",
                     F.coalesce("overall_confidence_score", F.lit(0.0)))
     )
+
+
+def reference_shaped_output(results: DataFrame) -> DataFrame:
+    """Per-document JSON in the reference's output schema
+    (output_formatter.py:39-43 / extraction_output.json):
+    ``{bureau_parameters: {param: {value, source, confidence, status,
+    similarity_score?}}, gst_sales: [{month, sales, source, confidence,
+    status}], overall_confidence_score}``.  Spark's to_json drops null
+    fields, matching the reference's conditional similarity_score key
+    (output_formatter.py:24-25)."""
+    bureau = (results.where(F.col("param_id").startswith("bureau"))
+              .groupBy("doc_id")
+              .agg(F.map_from_entries(F.collect_list(F.expr(
+                  "struct(param_id, named_struct("
+                  "'value_num', value_num, 'value_bool', value_bool, "
+                  "'source', source, 'confidence', confidence, "
+                  "'status', status, 'similarity_score', similarity_score))"
+              ))).alias("bureau_parameters")))
+    gst = (results.where(F.col("param_id").isin("gst_sales", "gst_month"))
+           .groupBy("doc_id")
+           .agg(F.expr("array(named_struct("
+                       "'month', max(CASE WHEN param_id = 'gst_month' THEN value_str END), "
+                       "'sales', max(CASE WHEN param_id = 'gst_sales' THEN value_num END), "
+                       "'source', max(source), "
+                       "'confidence', max(confidence), "
+                       "'status', max(status)))").alias("gst_sales")))
+    overall = (results.groupBy("doc_id")
+               .agg(F.coalesce(
+                   F.round(F.avg(F.when(F.col("confidence") > 0,
+                                        F.col("confidence"))), 3),
+                   F.lit(0.0)).alias("overall_confidence_score")))
+    out = (overall.join(bureau, "doc_id", "left")
+           .join(gst, "doc_id", "left"))
+    return out.select(
+        "doc_id",
+        F.to_json(F.struct("bureau_parameters", "gst_sales",
+                           "overall_confidence_score")).alias("json"))
