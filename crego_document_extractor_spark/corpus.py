@@ -94,15 +94,22 @@ def _table_span(d: _Doc, rng: random.Random, columns: list[str],
 
 def _gen_crif(rng: random.Random, big: bool) -> list[dict]:
     d = _Doc()
-    if rng.random() < 0.5:
-        _add_boiler(d, rng)
-    d.add("heading", "CRIF Bureau Report")
-    d.add("text", f"Report generated for applicant {rng.randrange(10**6)}")
+    # tables-only variant (~10%): no text chunks, so retrieval's best
+    # candidate is necessarily a table → chunk-aware DIRECT path
+    tables_only = not big and rng.random() < 0.1
+    if not tables_only:
+        if rng.random() < 0.5:
+            _add_boiler(d, rng)
+        d.add("heading", "CRIF Bureau Report")
+        d.add("text", f"Report generated for applicant {rng.randrange(10**6)}")
 
     # Verification / score table (crif_parser.py:66-87)
     r = rng.random()
     if r < 0.8:
         d.add("heading", "Verification")
+        if not tables_only:
+            d.add("text", "CIBIL Score: credit bureau score for the consumer, "
+                          "range 300 900, requested service CB SCORE")
         rows = []
         if rng.random() < 0.3:
             rows.append(["CONSUMER CHECK", ""])          # falsy score cell
@@ -123,6 +130,10 @@ def _gen_crif(rng: random.Random, big: bool) -> list[dict]:
     # Account summary table (crif_parser.py:28-46)
     if rng.random() < 0.85:
         d.add("heading", "Account Summary")
+        if not tables_only:
+            d.add("text", "Max loans summary: number of accounts, max active "
+                          "loans, total amount overdue, total written off debt "
+                          "amount exposure")
         _table_span(
             d, rng,
             ["Number of Accounts", "Active Accounts", "Total Current Balance",
@@ -135,6 +146,9 @@ def _gen_crif(rng: random.Random, big: bool) -> list[dict]:
     ir = rng.random()
     if ir < 0.4:
         d.add("heading", "Inquiries in last 24 months")
+        if not tables_only:
+            d.add("text", "Credit Inquiries: number of bureau credit inquiries "
+                          "(enquiries) recorded")
         n = rng.randint(1, 8)
         _table_span(d, rng, ["Enquiry Purpose", "Date"],
                     [[rng.choice(["Personal Loan", "Auto Loan", "Card"]),
@@ -145,11 +159,11 @@ def _gen_crif(rng: random.Random, big: bool) -> list[dict]:
                     [[str(rng.randint(0, 20)), "24m"]])
 
     # Account sections (crif_parser.py:130-174)
-    n_acct = rng.randint(0, 6)
+    n_acct = 0 if tables_only else rng.randint(0, 6)
     if big:
         n_acct = rng.randint(200, 800)
-    for i in range(n_acct):
-        d.add("heading", f"Account Information {i + 1}")
+
+    def account_block() -> str:
         lines = [f"Account Number: ACCT{rng.randrange(10**8):08d}"]
         if rng.random() < 0.05:
             pass  # missing Account Type → invalid account (crif_parser.py:161)
@@ -168,11 +182,23 @@ def _gen_crif(rng: random.Random, big: bool) -> list[dict]:
                 for m in months)
             lines.append(f"Payment History: {hist}")
         lines.append(f"Account Remarks: {rng.choice(REMARKS)}")
-        d.add("text", "\n".join(lines))
-        if rng.random() < 0.15:
-            _add_boiler(d, rng)
-        if rng.random() < 0.1:
-            d.add("media", "", f"img:{rng.randrange(100)}")
+        return "\n".join(lines)
+
+    if n_acct and not big and rng.random() < 0.25:
+        # combined section: ONE chunk carrying several 'Account Number:'
+        # sub-blocks — exercises the chunk-split flag path (P6,
+        # crif.py:395-401) and the reference's first-match field quirk
+        # (report-level parse sees one pseudo-account per chunk)
+        d.add("heading", f"Account Information 1-{n_acct}")
+        d.add("text", "\n".join(account_block() for _ in range(n_acct)))
+    else:
+        for i in range(n_acct):
+            d.add("heading", f"Account Information {i + 1}")
+            d.add("text", account_block())
+            if rng.random() < 0.15:
+                _add_boiler(d, rng)
+            if rng.random() < 0.1:
+                d.add("media", "", f"img:{rng.randrange(100)}")
     if rng.random() < 0.5:
         _add_boiler(d, rng)
     return d.spans

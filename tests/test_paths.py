@@ -1,0 +1,80 @@
+"""Targeted coverage of the chunk-aware extraction paths
+(crif.py:311-426): crafted documents where retrieval's best chunk is a
+table (chunk-aware DIRECT) or the account text chunk (chunk-aware
+FLAG), checked Spark-vs-oracle."""
+
+import math
+
+from crego_document_extractor_spark import oracle
+from crego_document_extractor_spark.parse import DOCUMENTS_SCHEMA
+from crego_document_extractor_spark import pipeline
+
+FIELDS = ("value_num", "value_bool", "value_str", "value_type",
+          "source", "confidence", "status", "similarity_score")
+
+
+def _doc(doc_id, spans):
+    return {"doc_id": doc_id,
+            "spans": [dict(s, media_ref=s.get("media_ref", ""), offset=i)
+                      for i, s in enumerate(spans)]}
+
+
+DOC_TABLES_ONLY = _doc("crif-900001", [
+    {"kind": "table", "text": ("Requested Service | Score\n"
+                               "CIBIL credit bureau score range | \n"
+                               "CB SCORE | 651"), "media_ref": "page:1"},
+    {"kind": "table", "text": ("Number of Accounts | Active Accounts | "
+                               "Total Current Balance | Total Amount Overdue | "
+                               "Total Writeoff Amt | max loans written off debt amount\n"
+                               "7 | 3 | 1000 | 50 | 0 | "), "media_ref": "page:2"},
+])
+
+DOC_FLAG_CHUNK = _doc("crif-900002", [
+    {"kind": "heading", "text": "Account Information 1"},
+    {"kind": "text", "text": ("Account Number: 77\n"
+                              "Account Type: Personal Loan suit filed status "
+                              "exists indicates whether any\n"
+                              "Status: Active\n"
+                              "Account Remarks: Suit Filed")},
+])
+
+
+def _run(spark, docs):
+    df = spark.createDataFrame([(d["doc_id"], [tuple(s.values()) for s in
+                                               [{"kind": x["kind"], "text": x["text"],
+                                                 "media_ref": x["media_ref"],
+                                                 "offset": x["offset"]}
+                                                for x in d["spans"]]])
+                                for d in docs], schema=DOCUMENTS_SCHEMA)
+    _, results = pipeline.run(df, repartition=False)
+    return {(r["doc_id"], r["param_id"]): r.asDict() for r in results.collect()}
+
+
+def _expected(docs):
+    out = {}
+    for d in docs:
+        for r in oracle.extract_document(d)["results"]:
+            out[(r["doc_id"], r["param_id"])] = r
+    return out
+
+
+def test_chunk_aware_paths_match_oracle(spark):
+    docs = [DOC_TABLES_ONLY, DOC_FLAG_CHUNK]
+    got, exp = _run(spark, docs), _expected(docs)
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        g = got[k]
+        for f in FIELDS:
+            ev, gv = e[f], g[f]
+            ok = (math.isclose(ev, gv, abs_tol=1e-12)
+                  if isinstance(ev, float) and isinstance(gv, float) else ev == gv)
+            assert ok, (k, f, ev, gv)
+
+    # the distinctive paths actually fired (guard against silently
+    # regressing into report-level fallbacks)
+    score = exp[("crif-900001", "bureau_credit_score")]
+    assert score["source"] == "Verification Table (from Table 1)"
+    assert math.isclose(score["confidence"], 0.5 * 0.9, abs_tol=1e-12)  # chunk_aware × boost(0.767)
+    suit = exp[("crif-900002", "bureau_suit_filed")]
+    assert suit["source"] == "Account Remarks (1/1 accounts in chunk)"
+    assert math.isclose(suit["confidence"], 0.5 * 0.7, abs_tol=1e-12)
