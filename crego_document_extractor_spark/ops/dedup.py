@@ -44,10 +44,14 @@ def minhash_signature(df: DataFrame, n_hashes: int = 16,
 
 
 def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 16,
-                            bands: int = 4, shingle_k: int = 3) -> DataFrame:
+                            bands: int = 4, shingle_k: int = 3,
+                            max_bucket: int = 256) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate
-    pairs.  One shuffle on (band, band_hash); skew-safe because bucket
-    membership lists are bounded by near-duplicate group sizes."""
+    pairs.  ONE shuffle (groupBy band bucket), pairs expanded from the
+    sorted membership list.  Buckets larger than ``max_bucket`` are
+    dropped — an over-full bucket is non-discriminative (hot-key
+    skew protection: a degenerate bucket would otherwise emit
+    O(bucket²) pairs at corpus scale)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, n_hashes, shingle_k)
     banded = sig.select(
@@ -56,12 +60,14 @@ def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 16,
             f"transform(sequence(0, {bands - 1}), "
             f"b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
         )).alias("band", "band_hash"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                      (F.col("a.band_hash") == F.col("b.band_hash")) &
-                      (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("d1"),
-                    F.col("b.doc_id").alias("d2"))
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+               .where(f"size(ids) BETWEEN 2 AND {max_bucket}"))
+    pairs = ("flatten(transform(ids, (x, i) -> "
+             "transform(slice(ids, i + 2, 1000000000), "
+             "y -> named_struct('d1', x, 'd2', y))))")
+    return (buckets.select(F.explode(F.expr(pairs)).alias("p"))
+            .select("p.d1", "p.d2")
             .distinct())
 
 

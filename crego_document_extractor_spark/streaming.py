@@ -17,6 +17,31 @@ from .parse import parse_documents, DOCUMENTS_SCHEMA
 from .pipeline import extract_parameters
 
 
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def stream_windowed_event_counts(spark: SparkSession, input_dir: str,
+                                 output_dir: str, checkpoint_dir: str,
+                                 window: str = "1 hour",
+                                 watermark: str = "2 hours"):
+    """Watermarked tumbling-window aggregation over an event stream —
+    the canonical stateful-streaming operator (late data dropped past
+    the watermark; append mode emits only finalized windows)."""
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir))
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    return (agg.select(F.col("w.start").alias("w_start"),
+                       F.col("w.end").alias("w_end"),
+                       "event_type", "n", "total_value")
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", f"{output_dir}/counts")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
 def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
                    checkpoint_dir: str, available_now: bool = True):
     """Stream documents(doc_id, spans) parquet files → results table.

@@ -46,15 +46,28 @@ def child(cpus: int, corpus: str) -> None:
     spark.stop()
 
 
-def measure(cpus: int, corpus: str, cache: dict) -> dict:
-    if cpus not in cache:
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus), corpus],
-            capture_output=True, text=True, cwd=REPO, timeout=1800)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        cache[cpus] = json.loads(line)
-        print(line)
-    return cache[cpus]
+def _run_child(cpus: int, corpus: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", str(cpus), corpus],
+        capture_output=True, text=True, cwd=REPO, timeout=1800)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    print(line)
+    return json.loads(line)
+
+
+def measure_all(levels: list[int], corpus: str,
+                invocations: int = 2) -> dict[int, dict]:
+    """Interleave child invocations across levels (A,B,C,A,B,C) and
+    keep the per-level minimum — between-JVM machine-state noise on
+    this shared sandbox is larger than within-JVM variance, and
+    interleaving spreads it evenly across levels."""
+    best: dict[int, dict] = {}
+    for _ in range(invocations):
+        for cpus in levels:
+            r = _run_child(cpus, corpus)
+            if cpus not in best or r["sec"] < best[cpus]["sec"]:
+                best[cpus] = r
+    return best
 
 
 def main() -> None:
@@ -68,10 +81,11 @@ def main() -> None:
         from crego_document_extractor_spark import corpus as cg
         cg.write_corpus(corpus, n_docs, seed=42, big_doc_every=97)
 
-    cache: dict = {}
+    levels = sorted({c for pair in PAIRS for c in pair})
+    cache = measure_all(levels, corpus)
     rows = []
     for lo, hi in PAIRS:
-        r_lo, r_hi = measure(lo, corpus, cache), measure(hi, corpus, cache)
+        r_lo, r_hi = cache[lo], cache[hi]
         thr_lo, thr_hi = n_docs / r_lo["sec"], n_docs / r_hi["sec"]
         eff = (thr_hi / thr_lo) / (hi / lo)
         rows.append((lo, hi, r_lo["sec"], r_hi["sec"], thr_lo, thr_hi, eff))

@@ -42,3 +42,31 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     assert _results_set(got2.drop("batch_id")) == _results_set(both)
 
     shutil.rmtree(out_dir)
+
+
+def test_windowed_watermark_agg(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                f"{in_dir}/events.parquet")
+    q = streaming.stream_windowed_event_counts(
+        spark, in_dir, str(tmp_path / "o"), str(tmp_path / "c"))
+    q.awaitTermination(120)
+
+    got = {(r["w_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.read.parquet(str(tmp_path / "o" / "counts")).collect()}
+    assert got  # finalized windows were emitted
+
+    batch = spark.read.parquet(f"{in_dir}/events.parquet")
+    exp = {(r["w"]["start"], r["event_type"]): (r["n"], r["tv"])
+           for r in (batch.groupBy(F.window("ts", "1 hour").alias("w"),
+                                   "event_type")
+                     .agg(F.count("*").alias("n"),
+                          F.round(F.sum("value"), 2).alias("tv"))).collect()}
+    # append mode: every emitted window matches the batch aggregate;
+    # only the tail inside the watermark horizon is withheld
+    for k, v in got.items():
+        assert exp[k] == v
+    assert len(got) >= len(exp) - 4 * len({k[1] for k in exp})
