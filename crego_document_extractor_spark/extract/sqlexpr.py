@@ -15,6 +15,18 @@ from __future__ import annotations
 # slice overflows start+length in int32 and returns [] silently.
 SLICE_REST = 1_000_000_000
 
+# Python's whitespace set (str.strip() / re \s on str), as a Java regex
+# class.  Java's \s is ASCII-only; the reference is Python, so every
+# \s / strip() in its semantics must use this class for exact parity
+# (found by fuzzing: ' '/'\xa0'-padded values diverged).
+WS = (r"[\\s\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+      r"\\u2028\\u2029\\u202f\\u205f\\u3000]")
+
+
+def strip_ws(v: str) -> str:
+    """Python str.strip() equivalent (unicode-aware, unlike SQL trim)."""
+    return f"regexp_replace({v}, '^{WS}+|{WS}+$', '')"
+
 
 # ---------------------------------------------------------------------------
 # scalar helpers (crif_parser.py:177-216)
@@ -22,9 +34,11 @@ SLICE_REST = 1_000_000_000
 
 def clean_number(v: str) -> str:
     """clean_number (crif_parser.py:207-216): strip ','/'₹'/'Rs',
-    float() else 0.0."""
-    return (f"coalesce(try_cast(trim(regexp_replace({v}, ',|₹|Rs', '')) "
-            f"AS double), 0.0d)")
+    float() else 0.0.  Python-parity details: unicode-whitespace strip
+    (str.strip) and float()'s single-underscore-between-digits rule."""
+    cleaned = strip_ws(f"regexp_replace({v}, ',|₹|Rs', '')")
+    no_us = f"regexp_replace({cleaned}, '(?<=[0-9])_(?=[0-9])', '')"
+    return f"coalesce(try_cast({no_us} AS double), 0.0d)"
 
 
 def extract_field(text: str, field: str) -> str:
@@ -34,18 +48,18 @@ def extract_field(text: str, field: str) -> str:
     stripped.  Pure regexp — no per-field array allocation; this sits
     in the per-account hot path."""
     line = f"regexp_extract({text}, '(?m)^(?=.*{field}).*:.*$', 0)"
-    return f"regexp_extract({line}, '^[^:]*:\\\\s*(.*?)\\\\s*$', 1)"
+    return f"regexp_extract({line}, '^[^:]*:{WS}*(.*?){WS}*$', 1)"
 
 
 def payment_status(text: str, month: str) -> str:
     """crif_parser.py:193-204 — first case-insensitive match anywhere."""
     return (f"regexp_extract({text}, "
-            f"'(?i){month}\\\\s*[:\\\\-]?\\\\s*([A-Z0-9\\\\-/]+)', 1)")
+            f"'(?i){month}{WS}*[:\\\\-]?{WS}*([A-Z0-9\\\\-/]+)', 1)")
 
 
 def dpd(status: str) -> str:
     """DPD grade decode (crif_models.py:11-32); '' → 0."""
-    sl = f"lower(trim({status}))"
+    sl = f"lower({strip_ws(status)})"
     return (f"(CASE WHEN {sl} IN ('000','std','000/std') THEN 0 "
             f"WHEN {sl} = '030' THEN 30 "
             f"WHEN {sl} = '060' THEN 60 "
@@ -252,11 +266,11 @@ def gstr_month(text: str = "text") -> str:
     """gstr.py:39-65 over the first 20 lines."""
     ht = f"substring_index({text}, '\\n', 20)"
     mm = (f"regexp_extract({ht}, "
-          f"'(?i)(?:Month|Period)\\\\s*[:\\\\-]?\\\\s*([A-Za-z]+)', 1)")
+          f"'(?i)(?:Month|Period){WS}*[:\\\\-]?{WS}*([A-Za-z]+)', 1)")
     ym = (f"regexp_extract({ht}, "
-          f"'(?i)(?:Year|Financial Year)\\\\s*[:\\\\-]?\\\\s*"
+          f"'(?i)(?:Year|Financial Year){WS}*[:\\\\-]?{WS}*"
           f"([0-9]{{4}}(?:-[0-9]{{2,4}})?)', 1)")
-    dm = (f"regexp_extract({ht}, '\\\\b(?:{FULL_MONTHS_RE})\\\\s*20[0-9]{{2}}\\\\b', 0)")
+    dm = (f"regexp_extract({ht}, '\\\\b(?:{FULL_MONTHS_RE}){WS}*20[0-9]{{2}}\\\\b', 0)")
     return (f"(CASE WHEN {mm} != '' AND {ym} != '' "
             f"THEN concat({mm}, ' ', try_element_at(split({ym}, '-'), 1)) "
             f"WHEN {dm} != '' THEN {dm} "
@@ -268,7 +282,7 @@ def gstr_table_sig(t: str) -> str:
     strong = (f"(exists({lcols(t)}, gc -> contains(gc, 'integrated')) AND "
               f"exists({lcols(t)}, gc -> contains(gc, 'central')) AND "
               f"exists({lcols(t)}, gc -> contains(gc, 'taxable')))")
-    norm = f"regexp_replace(lower({t}.raw), '\\\\s+', ' ')"
+    norm = f"regexp_replace(lower({t}.raw), '{WS}+', ' ')"
     weak = (f"(contains({norm}, '3.1') AND "
             f"(contains({norm}, 'outward') OR contains({norm}, 'supplies')))")
     return f"({strong} OR {weak})"

@@ -30,7 +30,10 @@ def test_dpd_sql_matches_python(spark, status):
 # --- clean_number (crif_parser.py:207-216) ---------------------------------
 
 NUM_CASES = ["1,234.56", "₹5,00,000", "Rs 123", "  42 ", "", "n/a", "-12.5",
-             "1.2.3", "0", "00123", "Rs", "₹", "1e3"]
+             "1.2.3", "0", "00123", "Rs", "₹", "1e3",
+             # Python-parity edges: unicode whitespace (str.strip) and
+             # float()'s digit-underscore rule
+             " 42 ", "　-7.25\t", "1_000.5", "1__0", "_1", "1_"]
 
 
 @pytest.mark.parametrize("v", NUM_CASES)
@@ -48,6 +51,8 @@ FIELD_CASES = [
     ("nothing here", "Account Type"),
     ("Remarks: a:b:c", "Remarks"),
     ("", "Account Type"),
+    ("Account Type: Gold Loan ", "Account Type"),  # unicode strip
+    ("Account Type:　ideographic pad　", "Account Type"),
 ]
 
 

@@ -18,7 +18,12 @@ _status = st.one_of(
     st.text(alphabet="0123456789ABCZxyz-/", max_size=6))
 _amount = st.one_of(
     _cell,
-    st.sampled_from(["₹1,23,456.78", "Rs 42", "  -3.5", "1e4", "nan?", ""]))
+    st.sampled_from(["₹1,23,456.78", "Rs 42", "  -3.5", "1e4", "nan?", "",
+                     " 7 ", "1_2_3", "9__9"])).filter(
+    # Python float() accepts 'inf'/'nan' spellings Spark's cast doesn't;
+    # out of scope for currency cells (documented limitation)
+    lambda s: s.strip().lower().lstrip("+-") not in
+    ("inf", "infinity", "nan"))
 
 
 def _batch_eval(spark, expr, values):
