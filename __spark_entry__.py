@@ -342,6 +342,28 @@ def _q_a5_active_loans_by_type_inline(spark, sf):
     """)
 
 
+_HTML_DEMO = ("<body><nav><a href='/'>home</a></nav><h1>Title %d</h1>"
+              "<p>paragraph %d about data</p>"
+              "<div class='ad'>buy</div><img src='img:%d'>"
+              "<footer>legal</footer></body>")
+
+
+def _q_s2_html_ingest(spark, sf):
+    """S2 front-end: raw HTML bytes → spans → boilerplate strip —
+    Spark-only (the tokenizer is the engine's own operator)."""
+    from crego_document_extractor_spark import ingest, pipeline
+    raw = spark.createDataFrame(
+        [(f"html-{i:06d}", bytearray((_HTML_DEMO % (i, i, i)).encode()))
+         for i in range(50)], "doc_id string, payload binary")
+    docs = ingest.ingest_html(raw)
+    spans_df, _ = pipeline.run(docs, repartition=False)
+    return spans_df.select(
+        "doc_id",
+        F.expr("size(clean_spans)").alias("n_clean"),
+        F.expr("size(filter(clean_spans, s -> s.kind = 'heading'))").alias("n_headings"),
+        F.expr("size(filter(clean_spans, s -> s.kind = 'media'))").alias("n_media"))
+
+
 def _q_minhash_bands(spark, sf):
     """Dedup (MinHash/LSH) — Spark-only (hash functions differ across
     engines); driver records the weaker rows-only check."""
@@ -383,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a5_active_loans_by_type_inline": _q_a5_active_loans_by_type_inline,
         "q_minhash_bands": _q_minhash_bands,
         "q_simhash": _q_simhash,
+        "q_s2_html_ingest": _q_s2_html_ingest,
     }
 
 
