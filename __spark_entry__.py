@@ -169,7 +169,7 @@ def _q_a8_positive_mean(spark, sf):
 def _q_a12_nullsafe_accuracy(spark, sf):
     """A12/J4: null-safe equality accuracy rate (test_accuracy.py:127-156)."""
     return spark.sql("""
-        SELECT round(avg(CASE WHEN actual <=> expected THEN 1.0 ELSE 0.0 END), 3)
+        SELECT round(avg(CASE WHEN actual <=> expected THEN 1.0d ELSE 0.0d END), 3)
                AS accuracy, count(*) AS n
         FROM VALUES (1, 1), (2, 2), (3, 4), (NULL, NULL), (NULL, 5), (6, NULL)
              AS t(actual, expected)
@@ -179,8 +179,9 @@ def _q_a12_nullsafe_accuracy(spark, sf):
 def _q_a11_boost_ladder_inline(spark, sf):
     """A11: similarity-boost tier ladder (config.py:29-34 order)."""
     return spark.sql("""
-        SELECT s, CASE WHEN s >= 0.85 THEN 1.0 WHEN s >= 0.70 THEN 0.9
-                       WHEN s >= 0.50 THEN 0.7 ELSE 0.5 END AS boost
+        SELECT cast(s AS double) AS s,
+               CASE WHEN s >= 0.85 THEN 1.0d WHEN s >= 0.70 THEN 0.9d
+                    WHEN s >= 0.50 THEN 0.7d ELSE 0.5d END AS boost
         FROM VALUES (0.99),(0.85),(0.849),(0.7),(0.69),(0.5),(0.49),(0.0),(-0.3) AS t(s)
     """)
 
@@ -482,13 +483,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "q_a11_boost_ladder_inline": """
-            SELECT s, CASE WHEN s >= 0.85 THEN 1.0 WHEN s >= 0.70 THEN 0.9
-                           WHEN s >= 0.50 THEN 0.7 ELSE 0.5 END AS boost
+            SELECT CAST(s AS double) AS s,
+                   CAST(CASE WHEN s >= 0.85 THEN 1.0 WHEN s >= 0.70 THEN 0.9
+                             WHEN s >= 0.50 THEN 0.7 ELSE 0.5 END AS double) AS boost
             FROM (VALUES (0.99),(0.85),(0.849),(0.7),(0.69),(0.5),(0.49),(0.0),(-0.3)) AS t(s)
         """,
         "q_a12_nullsafe_accuracy": """
-            SELECT round(avg(CASE WHEN actual IS NOT DISTINCT FROM expected
-                                  THEN 1.0 ELSE 0.0 END), 3) AS accuracy,
+            SELECT CAST(round(avg(CASE WHEN actual IS NOT DISTINCT FROM expected
+                                       THEN 1.0 ELSE 0.0 END), 3) AS double) AS accuracy,
                    count(*) AS n
             FROM (VALUES (1, 1), (2, 2), (3, 4), (NULL, NULL), (NULL, 5), (6, NULL))
                  AS t(actual, expected)

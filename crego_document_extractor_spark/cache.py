@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .parse import parse_documents
+from .parse import DOC_KIND_SQL, PARSED_SCHEMA, parse_documents
 
 #: cache key — content hash of the canonical span JSON (the analogue
 #: of sha256(file_bytes), cache.py:28-30)
@@ -41,29 +41,37 @@ def parse_with_cache(docs: DataFrame, cache_dir: str) -> tuple[DataFrame, dict]:
 
     if cached is None:
         misses = keyed
-        hits_parsed = None
         n_hits = 0
     else:
         cache_keys = cached.select("content_key").distinct()
         misses = keyed.join(cache_keys, "content_key", "left_anti")
-        hits_parsed = (keyed.select("doc_id", "content_key")
-                       .join(cached.dropDuplicates(["content_key"])
-                             .drop("doc_id"), "content_key"))
-        n_hits = hits_parsed.count()
+        n_hits = keyed.join(cache_keys, "content_key", "left_semi").count()
 
+    # persist before counting so the expensive parse of the misses
+    # executes exactly once (count + append share the materialization)
     fresh = (parse_documents(misses.select("doc_id", "spans"))
              .join(keyed.select("doc_id", "content_key"), "doc_id"))
+    fresh.persist()
     n_misses = fresh.count()
     if n_misses:
         fresh.write.mode("append").parquet(cache_dir)
+    fresh.unpersist()
 
     # serve everything from the (now complete) cache so hit and miss
-    # paths return identical column sets
+    # paths return identical column sets.  doc_kind is recomputed from
+    # the REQUESTING doc_id: the cache key is content-only, so a span
+    # payload shared by documents of different kinds must not leak the
+    # writer's routing kind to other callers.
     cached_now = _read_cache(spark, cache_dir)
+    serve_cols = [
+        F.expr(DOC_KIND_SQL).alias("doc_kind") if f.name == "doc_kind"
+        else F.col(f.name)
+        for f in PARSED_SCHEMA.fields
+    ]
     parsed = (keyed.select("doc_id", "content_key")
-              .join(cached_now.dropDuplicates(["content_key"]).drop("doc_id"),
-                    "content_key")
-              .drop("content_key"))
+              .join(cached_now.dropDuplicates(["content_key"])
+                    .drop("doc_id", "doc_kind"), "content_key")
+              .select(*serve_cols))
     return parsed, {"hits": n_hits, "misses": n_misses}
 
 
@@ -89,7 +97,15 @@ def clear_cache(spark: SparkSession, cache_dir: str,
     if doc_kind is None:
         spark.createDataFrame([], cached.schema).write.mode("overwrite").parquet(cache_dir)
         return before
+    # scale-safe selective clear: distributed temp-write of the kept
+    # rows, then swap — never materialized on the driver (a 100 TB
+    # cache would OOM a collect; DELETE FROM on an Iceberg catalog)
+    tmp_dir = cache_dir.rstrip("/") + "__clear_tmp"
     kept = cached.where(F.col("doc_kind") != doc_kind)
-    kept_rows = kept.collect()  # small admin op; materialize before overwrite
-    spark.createDataFrame(kept_rows, cached.schema).write.mode("overwrite").parquet(cache_dir)
-    return before - len(kept_rows)
+    kept.write.mode("overwrite").parquet(tmp_dir)
+    kept_back = spark.read.parquet(tmp_dir)
+    n_kept = kept_back.count()
+    kept_back.write.mode("overwrite").parquet(cache_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    return before - n_kept

@@ -168,7 +168,10 @@ def score_from_table(t: str) -> str:
     compose with score_sig)."""
     service = f"upper({_cell(t, 'sr', 'Requested Service', chr(39) * 2)})"
     cell = _cell(t, "sr", "Score", "''")
-    score = f"cast({clean_number(cell)} AS int)"
+    # try_cast: a 'nan' Score cell yields NULL → row skipped, matching
+    # the reference's try/except-continue (crif_parser.py:79-85);
+    # a plain cast would abort the whole job under ANSI.
+    score = f"try_cast({clean_number(cell)} AS int)"
     row_score = (f"(CASE WHEN contains({service}, 'SCORE') AND {cell} != '' "
                  f"AND {score} BETWEEN 300 AND 900 THEN {score} END)")
     return (f"try_element_at(filter(transform({t}.rows, sr -> {row_score}), "
@@ -191,7 +194,7 @@ def inq_from_table(t: str) -> str:
     val = (f"(CASE WHEN {pos1} > 0 THEN try_element_at(ir, cast({pos1} AS int)) "
            f"WHEN {pos2} > 0 THEN try_element_at(ir, cast({pos2} AS int)) "
            f"ELSE '' END)")
-    row_v = (f"(CASE WHEN {val} != '' THEN cast({clean_number(val)} AS int) END)")
+    row_v = (f"(CASE WHEN {val} != '' THEN try_cast({clean_number(val)} AS int) END)")
     first_row = (f"try_element_at(filter(transform({t}.rows, ir -> {row_v}), "
                  f"v -> v IS NOT NULL), 1)")
     return (f"(CASE WHEN size({t}.rows) = 0 THEN CAST(NULL AS int) "

@@ -60,13 +60,27 @@ def tokenize_html(html: str) -> list[dict]:
     """HTML → ordered spans (kind, text, media_ref, offset)."""
     spans: list[dict] = []
     boiler_stack: list[tuple[str, str]] = []  # (opening tag, kind)
+    anchor_stack: list[tuple[str, int]] = []  # (href, buf pos at <a>)
     skip_depth = 0                 # inside script/style/title
     buf: list[str] = []
 
     def cur_kind(default: str) -> str:
         return boiler_stack[-1][1] if boiler_stack else default
 
+    def wrap_anchor(href: str, pos: int) -> None:
+        # wrap buf[pos:] as a markdown link; empty inner text → no link
+        if any(t.strip() for t in buf[pos:]):
+            buf.insert(pos, "[")
+            buf.append(f"]({href})")
+
     def flush() -> None:
+        # anchors still open at a block boundary close here (their
+        # remaining inner text re-links after the flush) — no sentinel
+        # strings ever enter the emitted text
+        for j in range(len(anchor_stack) - 1, -1, -1):
+            href, pos = anchor_stack[j]
+            wrap_anchor(href, pos)
+            anchor_stack[j] = (href, 0)
         text = _WS_RUN.sub(" ", " ".join(buf)).strip()
         buf.clear()
         if not text:
@@ -118,20 +132,14 @@ def tokenize_html(html: str) -> list[dict]:
         elif tag == "img":
             add(cur_kind("media"), "", attrs.get("src", ""))
         elif tag == "a" and not closing:
-            href = attrs.get("href", "")
-            # render the anchor as a markdown link inline; the inner
-            # text arrives as subsequent text tokens — open the bracket
-            buf.append("[")
-            buf.append(f"__HREF__{href}__")
+            # record the href + current buffer position; the link is
+            # rendered as markdown when the anchor closes (or at the
+            # next block flush)
+            anchor_stack.append((attrs.get("href", ""), len(buf)))
         elif tag == "a" and closing:
-            # close the markdown link using the last recorded href
-            href = ""
-            for j in range(len(buf) - 1, -1, -1):
-                if buf[j].startswith("__HREF__"):
-                    href = buf[j][8:-2]
-                    del buf[j]
-                    break
-            buf.append(f"]({href})")
+            if anchor_stack:
+                href, pos = anchor_stack.pop()
+                wrap_anchor(href, pos)
         elif not closing and (tag in _BOILER_TAGS or _is_ad_class(attrs)):
             flush()
             boiler_stack.append((tag, _BOILER_TAGS.get(tag, "ad")))

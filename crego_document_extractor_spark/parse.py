@@ -68,6 +68,16 @@ def _doc_kind(doc_id: str) -> str:
     return head if head in _KINDS else "other"
 
 
+#: SQL twin of ``_doc_kind`` — used by the parse cache to recompute the
+#: kind from the *requesting* doc_id at serve time (the cache key is
+#: content-only, so a byte-identical span payload may be shared across
+#: kinds; the routing kind must come from the caller, not the cache)
+DOC_KIND_SQL = (
+    "CASE WHEN element_at(split(doc_id, '-'), 1) IN ('crif', 'gstr', 'html') "
+    "THEN element_at(split(doc_id, '-'), 1) ELSE 'other' END"
+)
+
+
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {

@@ -331,7 +331,12 @@ def bureau_score_from_table(table: dict) -> Optional[int]:
         if "CB SCORE" in service or "SCORE" in service:
             score_val = _cell(cols, row, "Score", None)
             if score_val:
-                score = int(clean_number(score_val))
+                try:
+                    score = int(clean_number(score_val))
+                except (ValueError, TypeError):
+                    # crif_parser.py:79-85 — a 'nan'/unparseable Score
+                    # cell skips the row and keeps scanning
+                    continue
                 if 300 <= score <= 900:
                     return score
     return None

@@ -41,3 +41,26 @@ def test_cache_hit_miss_and_stats(spark, tmp_path):
     assert cache.cache_stats(spark, cache_dir)["entries"] == 40
     assert cache.clear_cache(spark, cache_dir) == 40
     assert cache.cache_stats(spark, cache_dir)["entries"] == 0
+
+
+def test_cache_doc_kind_not_leaked_across_kinds(spark, tmp_path):
+    """A byte-identical span payload cached under one doc kind must not
+    serve its writer's routing kind to a caller of another kind (the
+    cache key is content-only; doc_kind comes from the requester)."""
+    from crego_document_extractor_spark import parse
+
+    cache_dir = str(tmp_path / "parsed_docs")
+    spans = [("text", "same payload", "", 0)]
+    df1 = spark.createDataFrame([("crif-000001", spans)],
+                                schema=parse.DOCUMENTS_SCHEMA)
+    parsed1, m1 = cache.parse_with_cache(df1, cache_dir)
+    assert m1 == {"hits": 0, "misses": 1}
+    assert parsed1.collect()[0]["doc_kind"] == "crif"
+
+    df2 = spark.createDataFrame([("html-000001", spans)],
+                                schema=parse.DOCUMENTS_SCHEMA)
+    parsed2, m2 = cache.parse_with_cache(df2, cache_dir)
+    assert m2 == {"hits": 1, "misses": 0}  # content hit across kinds
+    row = parsed2.collect()[0]
+    assert row["doc_kind"] == "html"       # kind of the requester
+    assert parsed2.columns == [f.name for f in parse.PARSED_SCHEMA.fields]

@@ -67,3 +67,17 @@ def test_pdf_runs_reading_order(spark):
     assert [s["text"] for s in spans] == ["Title", "hello world", "page2"]
     assert [s["media_ref"] for s in spans] == ["page:1", "page:1", "page:2"]
     assert [s["offset"] for s in spans] == [0, 1, 2]
+
+
+def test_tokenize_html_anchor_block_and_unclosed():
+    # block element inside <a> (legal HTML5): no placeholder leak
+    spans = ingest.tokenize_html('<a href="/x"><p>click</p></a>')
+    assert [s["text"] for s in spans] == ["[click](/x)"]
+    # unclosed anchor at EOF still renders as a link
+    spans = ingest.tokenize_html('<p>See <a href="/y">dangling')
+    assert [s["text"] for s in spans] == ["See [dangling](/y)"]
+    # anchor spanning a block break links both halves to the same href
+    spans = ingest.tokenize_html('<a href="/z">one<p>two</p></a>')
+    assert [s["text"] for s in spans] == ["[one](/z)", "[two](/z)"]
+    # the internal sentinel of the pre-fix implementation never leaks
+    assert all("__HREF__" not in s["text"] for s in spans)
