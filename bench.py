@@ -42,25 +42,36 @@ def main() -> None:
     from crego_document_extractor_spark import pipeline
     import __spark_entry__ as entrymod
 
+    from crego_document_extractor_spark.parse import parse_documents
+
     path = ensure_corpus()
     spark = get_spark(master=f"local[{CPUS}]")
     timings: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # warm-run methodology (same as scripts/bench_scaling.py): pin the
+    # raw input, warm JVM/JIT + Arrow python workers on a small slice,
+    # then take the best of `runs` timed executions — first-run JIT and
+    # python-worker startup otherwise dominate and round-over-round
+    # comparisons are noise.
+    docs_df = (pipeline.ensure_parallelism(spark.read.parquet(path),
+                                           min_partitions=CPUS * 4).persist())
+    docs_df.count()
+    pipeline.extract_parameters(parse_documents(docs_df.limit(64))).count()
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        return out
+        fn()  # warm
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
-    # warm the JVM/Arrow paths once so timings measure steady state
-    spark.read.parquet(path).limit(8).count()
-
-    docs_df = spark.read.parquet(path)
     n_extracted = {}
 
     def flagship():
-        from crego_document_extractor_spark.parse import parse_documents
-        parsed = parse_documents(pipeline.ensure_parallelism(docs_df)).persist()
+        parsed = parse_documents(docs_df).persist()
         try:
             n_extracted["spans"] = pipeline.clean_spans(parsed).count()
             n_extracted["rows"] = pipeline.extract_parameters(parsed).count()

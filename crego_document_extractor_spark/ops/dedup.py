@@ -30,36 +30,51 @@ def _shingles(tokens: str, k: int = 3) -> str:
             f"i -> concat_ws(' ', slice({tokens}, i, {k}))))")
 
 
+def _minhash_scalar(df: DataFrame, n_hashes: int,
+                    shingle_k: int) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — one explode of the shingle set, then n
+    scalar ``min(hash(s, seed))`` aggregates.  Scalar hash + min are
+    whole-stage-codegen with map-side partial aggregation, so the
+    shuffle carries one (doc_id, n ints) row per doc per map task —
+    unlike the former n interpreted ``transform`` passes per document
+    (CodegenFallback, the round-1 56 s hot spot)."""
+    toks = "split(text, ' ')"
+    sh = df.select(
+        "doc_id", F.explode(F.expr(_shingles(toks, shingle_k))).alias("s"))
+    return sh.groupBy("doc_id").agg(
+        *[F.min(F.expr(f"hash(s, {seed})")).alias(f"h{seed}")
+          for seed in range(n_hashes)])
+
+
 def minhash_signature(df: DataFrame, n_hashes: int = 16,
                       shingle_k: int = 3) -> DataFrame:
     """(doc_id, signature array<int>) — seeded murmur3 min over
     k-token shingles."""
-    toks = "split(text, ' ')"
-    sig = ("array(" + ", ".join(
-        f"array_min(transform(sh, s -> hash(s, {seed})))"
-        for seed in range(n_hashes)) + ")")
-    return (df.withColumn("sh", F.expr(_shingles(toks, shingle_k)))
-            .where("size(sh) > 0")
-            .select("doc_id", F.expr(sig).alias("signature")))
+    hs = _minhash_scalar(df, n_hashes, shingle_k)
+    return hs.select(
+        "doc_id",
+        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("signature"))
 
 
 def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 16,
                             bands: int = 4, shingle_k: int = 3,
                             max_bucket: int = 256) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate
-    pairs.  ONE shuffle (groupBy band bucket), pairs expanded from the
-    sorted membership list.  Buckets larger than ``max_bucket`` are
-    dropped — an over-full bucket is non-discriminative (hot-key
-    skew protection: a degenerate bucket would otherwise emit
-    O(bucket²) pairs at corpus scale)."""
+    pairs.  ONE extra shuffle (groupBy band bucket), pairs expanded
+    from the sorted membership list.  Buckets larger than
+    ``max_bucket`` are dropped — an over-full bucket is
+    non-discriminative (hot-key skew protection: a degenerate bucket
+    would otherwise emit O(bucket²) pairs at corpus scale)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, n_hashes, shingle_k)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {bands - 1}), "
-            f"b -> hash(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
-        )).alias("band", "band_hash"))
+    hs = _minhash_scalar(df, n_hashes, shingle_k)
+    # band hash straight from the scalar min columns (codegen) —
+    # bucket equality is what matters, not the hash formulation
+    band_hashes = F.array(*[
+        F.hash(*[F.col(f"h{b * rows_per_band + i}")
+                 for i in range(rows_per_band)])
+        for b in range(bands)])
+    banded = hs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
     buckets = (banded.groupBy("band", "band_hash")
                .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
                .where(f"size(ids) BETWEEN 2 AND {max_bucket}"))

@@ -116,3 +116,21 @@ def test_multimodal_plumbing(spark):
     assert len(feats["aud:1"]["feature"]) == 8
     dups = multimodal.media_dedup_keys(media).collect()
     assert len(dups) == 1 and dups[0]["n"] == 2
+
+
+def test_minhash_signature_matches_hof_formulation(text_df):
+    """The explode/scalar-agg signature must equal the direct
+    higher-order formulation (array_min over transform) value-for-value."""
+    from pyspark.sql import functions as F
+
+    got = {r["doc_id"]: list(r["signature"]) for r in
+           dedup.minhash_signature(text_df, n_hashes=8, shingle_k=2).collect()}
+    sig = ("array(" + ", ".join(
+        f"array_min(transform(sh, s -> hash(s, {seed})))"
+        for seed in range(8)) + ")")
+    sh = ("array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)), "
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 2))))")
+    exp_df = (text_df.withColumn("sh", F.expr(sh)).where("size(sh) > 0")
+              .select("doc_id", F.expr(sig).alias("signature")))
+    exp = {r["doc_id"]: list(r["signature"]) for r in exp_df.collect()}
+    assert got == exp
