@@ -380,6 +380,251 @@ def _q_simhash(spark, sf):
     return simhash(d)
 
 
+# --- table-signature operators on inline nested tables ---------------------
+
+_TAB = "named_struct('id', tbl_id, 'page', 0, 'columns', cols, 'rows', rws, 'raw', raw)"
+
+
+def _q_f5_a6_summary_first_match(spark, sf):
+    """F5+A6: account-summary table signature + first-match pick + row-0
+    cell projection with currency cleaning (crif_parser.py:28-63)."""
+    from crego_document_extractor_spark.extract import sqlexpr as X
+    return spark.sql(f"""
+        WITH tabs AS (
+          SELECT doc, tbl_id, {_TAB} AS t FROM VALUES
+            (1, 0, array('Narrative'), array(array('x')), ''),
+            (1, 1, array('Number of Accounts', 'Total Writeoff Amt'),
+                   array(array('7', '₹1,234.5'), array('9', '9')), ''),
+            (1, 2, array('Active Accounts'), array(array('3')), ''),
+            (2, 0, array('Number of Accounts'), slice(array(array('x')), 1, 0), ''),
+            (3, 0, array('Narrative'), array(array('y')), '')
+            AS v(doc, tbl_id, cols, rws, raw)),
+        sig AS (
+          SELECT doc, tbl_id, t,
+                 row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+          FROM tabs WHERE {X.summary_sig('t')}),
+        docs AS (SELECT DISTINCT doc FROM tabs)
+        SELECT d.doc,
+               coalesce(cast({X.summary_cell('s.t', 'Number of Accounts')} AS int), 0)
+                 AS total_accounts,
+               coalesce(cast({X.summary_cell('s.t', 'Active Accounts')} AS int), 0)
+                 AS active_accounts,
+               coalesce({X.summary_cell('s.t', 'Total Writeoff Amt')}, 0.0d)
+                 AS total_writeoff
+        FROM docs d LEFT JOIN (SELECT * FROM sig WHERE rk = 1) s ON d.doc = s.doc
+        ORDER BY d.doc
+    """)
+
+
+def _q_f6_t4_score_scan(spark, sf):
+    """F6+T4: bureau-score signature + first valid row in [300,900]
+    (invalid/'nan' rows skipped), first-match across tables in document
+    order (crif_parser.py:66-97)."""
+    from crego_document_extractor_spark.extract import sqlexpr as X
+    return spark.sql(f"""
+        WITH tabs AS (
+          SELECT doc, tbl_id, {_TAB} AS t FROM VALUES
+            (1, 0, array('Requested Service', 'Score'),
+                   array(array('CB SCORE', 'nan'), array('SCORE', '1200'),
+                         array('CB SCORE', '712')), ''),
+            (1, 1, array('Requested Service', 'Score'),
+                   array(array('SCORE', '650')), ''),
+            (2, 0, array('Requested Service', 'Score'),
+                   array(array('OTHER', '700')), ''),
+            (3, 0, array('Narrative'), array(array('x')), '')
+            AS v(doc, tbl_id, cols, rws, raw)),
+        scored AS (
+          SELECT doc, tbl_id,
+                 (CASE WHEN {X.score_sig('t')} THEN {X.score_from_table('t')} END) AS score
+          FROM tabs),
+        first AS (
+          SELECT doc, score,
+                 row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+          FROM scored WHERE score IS NOT NULL)
+        SELECT d.doc, f.score
+        FROM (SELECT DISTINCT doc FROM tabs) d
+        LEFT JOIN (SELECT * FROM first WHERE rk = 1) f ON d.doc = f.doc
+        ORDER BY d.doc
+    """)
+
+
+def _q_f7_a7_inquiry_count(spark, sf):
+    """F7+A7: inquiry-table signature variants — enquiry-purpose row
+    count, 'Number of Enquiries' first non-empty cell, doc-level first
+    non-null over tables else 0 (crif_parser.py:100-127)."""
+    from crego_document_extractor_spark.extract import sqlexpr as X
+    return spark.sql(f"""
+        WITH tabs AS (
+          SELECT doc, tbl_id, {_TAB} AS t FROM VALUES
+            (1, 0, array('Enquiry Purpose', 'Date'),
+                   array(array('PL', 'x'), array('BL', 'y'), array('PL', 'z')), ''),
+            (2, 0, array('Number of Enquiries'), array(array(''), array('12')), ''),
+            (3, 0, array('Narrative'), array(array('n')), ''),
+            (4, 0, array('Enquiry Purpose'), slice(array(array('q')), 1, 0), ''),
+            (5, 0, array('Narrative'), array(array('n')), ''),
+            (5, 1, array('Inquiry Date'), array(array('a'), array('b')), '')
+            AS v(doc, tbl_id, cols, rws, raw)),
+        vals AS (
+          SELECT doc, tbl_id, {X.inq_from_table('t')} AS v FROM tabs),
+        first AS (
+          SELECT doc, v, row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+          FROM vals WHERE v IS NOT NULL)
+        SELECT d.doc, coalesce(f.v, 0) AS inquiries
+        FROM (SELECT DISTINCT doc FROM tabs) d
+        LEFT JOIN (SELECT * FROM first WHERE rk = 1) f ON d.doc = f.doc
+        ORDER BY d.doc
+    """)
+
+
+def _q_f8_f9_gstr_locator(spark, sf):
+    """F8+F9: GSTR-3B table signature (strong columns or weak '3.1'
+    content), taxable column locator, '(a)' sales-row pick, currency
+    clean (gstr.py:74-155)."""
+    from crego_document_extractor_spark.extract import sqlexpr as X
+    val = X.clean_currency("try_element_at(g_row, cast(g_idx + 1 AS int))")
+    return spark.sql(f"""
+        WITH tabs AS (
+          SELECT doc, tbl_id, {_TAB} AS t FROM VALUES
+            (1, 0, array('Nature of Supplies', 'Integrated Tax', 'Central Tax', 'Total Taxable value'),
+                   array(array('(a) Outward taxable supplies', '10', '20', '1,50,000.50'),
+                         array('(b) other', '1', '2', '3')), ''),
+            (2, 0, array('col a', 'col b'),
+                   array(array('(a) outward', '2,000')), 'Table 3.1 outward supplies'),
+            (3, 0, array('x'), array(array('no match here')), 'nothing relevant')
+            AS v(doc, tbl_id, cols, rws, raw)),
+        sig AS (SELECT doc, tbl_id, t FROM tabs WHERE {X.gstr_table_sig('t')}),
+        first AS (
+          SELECT doc, t, row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+          FROM sig),
+        located AS (
+          SELECT doc, {X.gstr_taxable_idx('t')} AS g_idx,
+                 {X.gstr_sales_row('t')} AS g_row
+          FROM first WHERE rk = 1)
+        SELECT d.doc,
+               (l.doc IS NOT NULL AND l.g_row IS NOT NULL) AS found,
+               l.g_idx AS taxable_idx,
+               CASE WHEN l.g_row IS NOT NULL THEN {val} END AS sales
+        FROM (SELECT DISTINCT doc FROM tabs) d
+        LEFT JOIN located l ON d.doc = l.doc
+        ORDER BY d.doc
+    """)
+
+
+def _q_j3_coalesce_fallback(spark, sf):
+    """J3: chunk-value → report-value coalesce fallback with source
+    label (crif.py:361-364)."""
+    return spark.sql("""
+        SELECT id, coalesce(chunk_val, report_val) AS value,
+               CASE WHEN chunk_val IS NOT NULL THEN 'chunk'
+                    WHEN report_val IS NOT NULL THEN 'report'
+                    ELSE 'none' END AS source
+        FROM VALUES (1, 712.0d, 700.0d), (2, CAST(NULL AS double), 650.0d),
+                    (3, CAST(NULL AS double), CAST(NULL AS double))
+             AS t(id, chunk_val, report_val)
+    """)
+
+
+_ACCT_BLOCKS = [
+    (1, "Account Type: Personal Loan\nAccount Status: Active\n"
+        "Current Balance: ₹1,25,000\nAccount Remarks: Suit Filed\n"
+        "Jan: 030 Feb: STD Mar: 090"),
+    (2, "Account Type: Secured Gold Loan\nAccount Status: Closed\n"
+        "Current Balance: 42\nAccount Remarks: none\nApr: 000 May: 7/DPD"),
+    (3, "no account header here\njust: noise"),
+    (4, "Account Type: Business Loan\nrandom line without colon marker\n"
+        "Account Remarks: WILFUL DEFAULT reported\nDec: 180"),
+]
+
+
+def _q_p5_account_parse(spark, sf):
+    """P5: account block parser — field projection, active/secured
+    predicates, currency clean, worst-DPD fold
+    (crif_parser.py:146-216, crif_models.py:11-50)."""
+    from crego_document_extractor_spark.extract import sqlexpr as X
+    f = X.account_fields("t")
+    rows = ", ".join(f"({i}, '{b}')".replace("\n", "\\n") for i, b in _ACCT_BLOCKS)
+    return spark.sql(f"""
+        SELECT id, {f['account_type']} AS account_type,
+               {f['remarks']} AS remarks,
+               {f['is_active']} AS is_active,
+               {f['is_secured']} AS is_secured,
+               {f['current_balance']} AS current_balance,
+               {f['worst_dpd']} AS worst_dpd
+        FROM VALUES {rows} AS v(id, t)
+    """)
+
+
+def _q_a4_live_plbl_inline(spark, sf):
+    """A4: live personal/business-loan existence + the derived negation
+    (crif_models.py:80-88)."""
+    from crego_document_extractor_spark.extract import sqlexpr as X
+    pred = X.live_plbl_pred("acct_type", "is_active")
+    return spark.sql(f"""
+        SELECT max({pred}) AS has_live_pl_bl,
+               NOT max({pred}) AS no_live_pl_bl
+        FROM VALUES ('Personal Loan', false), ('Business Loan', true),
+                    ('Gold Loan', true), ('personal loan top-up', false)
+             AS t(acct_type, is_active)
+    """)
+
+
+def _q_a9_consistency(spark, sf):
+    """A9: consistency harness (test_accuracy.py:79-115) — the same
+    aggregation through two different physical plans (hash agg vs
+    window+distinct) must agree row-for-row; returns the mismatch
+    count (must be 0)."""
+    e = _t(spark, sf, "events")
+    a = e.groupBy("user_id").agg(F.count("*").alias("n"),
+                                 F.max("value").alias("vmax"))
+    w = Window.partitionBy("user_id")
+    b = (e.select("user_id", F.count("*").over(w).alias("n"),
+                  F.max("value").over(w).alias("vmax")).distinct())
+    j = a.alias("a").join(b.alias("b"), "user_id", "full_outer")
+    return j.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(~(F.col("a.n").eqNullSafe(F.col("b.n")) &
+                         F.col("a.vmax").eqNullSafe(F.col("b.vmax"))), 1))
+        .alias("n_mismatches"))
+
+
+def _q_token_stats(spark, sf):
+    """Text analysis: whitespace token count + BPE-ish subword
+    estimate (ops/textstats.py)."""
+    from crego_document_extractor_spark.ops.textstats import with_token_counts
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return with_token_counts(d).select("doc_id", "n_ws_tokens",
+                                       "n_bpe_tokens_est")
+
+
+def _q_fingerprint_distinct(spark, sf):
+    """Document fingerprint (rolling hash) as a dedup key: distinct
+    fingerprints per source must equal distinct texts per source on a
+    collision-free corpus (ops/textstats.py)."""
+    from crego_document_extractor_spark.ops.textstats import with_fingerprint
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    return (with_fingerprint(d).groupBy("source")
+            .agg(F.countDistinct("fingerprint").alias("n_unique"),
+                 F.count("*").alias("n_docs")))
+
+
+def _q_lsh_ann_recall(spark, sf):
+    """LSH-bucketed ANN vs exact brute force: recall@10 per query —
+    Spark-only (bucket hashes are engine-specific); the recall column
+    is the quality evidence."""
+    from crego_document_extractor_spark.ops.similarity import (
+        brute_force_topk, lsh_topk)
+    e = _t(spark, sf, "embeddings")
+    q = e.where("vec_id < 5")
+    bf = brute_force_topk(e, q, k=10).select("query_id", "cand_id")
+    ap = lsh_topk(e, q, k=10, bits=6, n_tables=4, dim=64).select(
+        "query_id", F.col("cand_id").alias("lsh_cand"))
+    hits = (bf.join(ap, (bf.query_id == ap.query_id) &
+                    (bf.cand_id == ap.lsh_cand), "left")
+            .groupBy(bf.query_id)
+            .agg((F.count("lsh_cand") / F.lit(10.0)).alias("recall_at_10")))
+    return hits.orderBy("query_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_s1_scan_prune": _q_s1_scan_prune,
@@ -407,7 +652,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_bands": _q_minhash_bands,
         "q_simhash": _q_simhash,
         "q_s2_html_ingest": _q_s2_html_ingest,
+        "q_f5_a6_summary_first_match": _q_f5_a6_summary_first_match,
+        "q_f6_t4_score_scan": _q_f6_t4_score_scan,
+        "q_f7_a7_inquiry_count": _q_f7_a7_inquiry_count,
+        "q_f8_f9_gstr_locator": _q_f8_f9_gstr_locator,
+        "q_j3_coalesce_fallback": _q_j3_coalesce_fallback,
+        "q_p5_account_parse": _q_p5_account_parse,
+        "q_a4_live_plbl_inline": _q_a4_live_plbl_inline,
+        "q_a9_consistency": _q_a9_consistency,
+        "q_token_stats": _q_token_stats,
+        "q_fingerprint_distinct": _q_fingerprint_distinct,
+        "q_lsh_ann_recall": _q_lsh_ann_recall,
     }
+
+
+# --- DuckDB twins for the inline nested-table queries -----------------------
+
+def _duck_clean(v: str) -> str:
+    return (f"coalesce(try_cast(regexp_replace(trim({v}), ',|₹|Rs', '', 'g') "
+            f"AS double), 0.0)")
+
+
+def _duck_cell(row: str, cols: str, name: str, default: str = "'0'") -> str:
+    pos = f"list_position({cols}, '{name}')"
+    return (f"(CASE WHEN {pos} IS NOT NULL "
+            f"THEN coalesce({row}[{pos}], {default}) ELSE {default} END)")
+
+
+def _duck_dpd(s: str) -> str:
+    sl = f"lower(trim({s}))"
+    return (f"(CASE WHEN {sl} IN ('000','std','000/std') THEN 0 "
+            f"WHEN {sl} = '030' THEN 30 WHEN {sl} = '060' THEN 60 "
+            f"WHEN {sl} IN ('090','sub','090/sub') THEN 90 "
+            f"WHEN {sl} IN ('120','dbt','120/dbt') THEN 120 "
+            f"WHEN {sl} IN ('150','lss','150/lss','180') THEN 180 "
+            f"WHEN {sl} = '-' THEN 0 "
+            f"ELSE coalesce(try_cast(regexp_extract({sl}, '^([0-9]+)', 1) AS int), 0) END)")
+
+
+_DUCK_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def _duck_worst_dpd(t: str) -> str:
+    parts = [
+        _duck_dpd(f"coalesce(regexp_extract({t}, "
+                  f"'(?i){m}\\s*[:\\-]?\\s*([A-Za-z0-9\\-/]+)', 1), '')")
+        for m in _DUCK_MONTHS]
+    return "greatest(" + ", ".join(parts) + ")"
+
+
+def _duck_field(t: str, field: str) -> str:
+    return (f"trim(coalesce(regexp_extract({t}, "
+            f"'(?m)^[^:\\n]*{field}[^:\\n]*:\\s*(.*?)\\s*$', 1), ''))")
+
+
+def _duck_acct_values() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(i, b.replace("\n", "' || chr(10) || '"))
+        for i, b in _ACCT_BLOCKS)
+    return rows
 
 
 def oracle_sql() -> dict[str, str]:
@@ -615,6 +919,186 @@ def oracle_sql() -> dict[str, str]:
                          ('Credit Card', true), ('Business Loan', true))
                  AS t(acct_type, is_active)
         """,
-        # q_minhash_bands / q_simhash: engine-specific hash functions —
-        # intentionally no oracle (rows-only check).
+        "q_f5_a6_summary_first_match": f"""
+            WITH tabs AS (SELECT * FROM (VALUES
+                (1, 0, ['Narrative'], [['x']]),
+                (1, 1, ['Number of Accounts', 'Total Writeoff Amt'],
+                       [['7', '₹1,234.5'], ['9', '9']]),
+                (1, 2, ['Active Accounts'], [['3']]),
+                (2, 0, ['Number of Accounts'], []::VARCHAR[][]),
+                (3, 0, ['Narrative'], [['y']])) AS v(doc, tbl_id, cols, rws)),
+            sig AS (
+              SELECT doc, tbl_id, cols, rws,
+                     row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+              FROM tabs
+              WHERE len(rws) > 0 AND
+                    (list_contains(list_transform(cols, c -> lower(c)), 'number of accounts')
+                     OR list_contains(list_transform(cols, c -> lower(c)), 'active accounts'))),
+            docs AS (SELECT DISTINCT doc FROM tabs)
+            SELECT d.doc,
+                   CAST({_duck_clean(_duck_cell("s.rws[1]", "s.cols", "Number of Accounts"))} AS int)
+                     AS total_accounts,
+                   CAST({_duck_clean(_duck_cell("s.rws[1]", "s.cols", "Active Accounts"))} AS int)
+                     AS active_accounts,
+                   {_duck_clean(_duck_cell("s.rws[1]", "s.cols", "Total Writeoff Amt"))}
+                     AS total_writeoff
+            FROM docs d LEFT JOIN (SELECT * FROM sig WHERE rk = 1) s ON d.doc = s.doc
+            ORDER BY d.doc
+        """,
+        "q_f6_t4_score_scan": f"""
+            WITH tabs AS (SELECT doc, tbl_id, cols, rws,
+                                 list_transform(cols, c -> lower(c)) AS lc
+                          FROM (VALUES
+                (1, 0, ['Requested Service', 'Score'],
+                       [['CB SCORE', 'nan'], ['SCORE', '1200'], ['CB SCORE', '712']]),
+                (1, 1, ['Requested Service', 'Score'], [['SCORE', '650']]),
+                (2, 0, ['Requested Service', 'Score'], [['OTHER', '700']]),
+                (3, 0, ['Narrative'], [['x']])) AS v(doc, tbl_id, cols, rws)),
+            scored AS (
+              SELECT doc, tbl_id,
+                CASE WHEN len(rws) > 0 AND list_contains(lc, 'requested service')
+                          AND list_contains(lc, 'score')
+                THEN (list_filter(list_transform(rws, r ->
+                       CASE WHEN contains(upper({_duck_cell('r', 'cols', 'Requested Service', "''")}), 'SCORE')
+                                 AND {_duck_cell('r', 'cols', 'Score', "''")} != ''
+                                 AND try_cast({_duck_clean(_duck_cell('r', 'cols', 'Score', "''"))} AS int)
+                                     BETWEEN 300 AND 900
+                       THEN try_cast({_duck_clean(_duck_cell('r', 'cols', 'Score', "''"))} AS int) END),
+                      s -> s IS NOT NULL))[1]
+                END AS score
+              FROM tabs),
+            first AS (
+              SELECT doc, score,
+                     row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+              FROM scored WHERE score IS NOT NULL)
+            SELECT d.doc, f.score
+            FROM (SELECT DISTINCT doc FROM tabs) d
+            LEFT JOIN (SELECT * FROM first WHERE rk = 1) f ON d.doc = f.doc
+            ORDER BY d.doc
+        """,
+        "q_f7_a7_inquiry_count": f"""
+            WITH tabs AS (SELECT doc, tbl_id, cols, rws,
+                                 list_transform(cols, c -> lower(c)) AS lc
+                          FROM (VALUES
+                (1, 0, ['Enquiry Purpose', 'Date'],
+                       [['PL', 'x'], ['BL', 'y'], ['PL', 'z']]),
+                (2, 0, ['Number of Enquiries'], [[''], ['12']]),
+                (3, 0, ['Narrative'], [['n']]),
+                (4, 0, ['Enquiry Purpose'], []::VARCHAR[][]),
+                (5, 0, ['Narrative'], [['n']]),
+                (5, 1, ['Inquiry Date'], [['a'], ['b']])) AS v(doc, tbl_id, cols, rws)),
+            vals AS (
+              SELECT doc, tbl_id,
+                CASE WHEN len(rws) = 0 THEN NULL
+                     WHEN list_contains(lc, 'enquiry purpose')
+                          OR contains(array_to_string(lc, ' '), 'inquiry')
+                       THEN len(rws)
+                     WHEN list_contains(lc, 'number of enquiries') THEN
+                       (list_filter(list_transform(rws, r ->
+                          CASE WHEN {_duck_cell('r', 'cols', 'Number of Enquiries', "''")} != ''
+                          THEN try_cast({_duck_clean(_duck_cell('r', 'cols', 'Number of Enquiries', "''"))} AS int)
+                          END), x -> x IS NOT NULL))[1]
+                END AS v
+              FROM tabs),
+            first AS (
+              SELECT doc, v, row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+              FROM vals WHERE v IS NOT NULL)
+            SELECT d.doc, coalesce(f.v, 0) AS inquiries
+            FROM (SELECT DISTINCT doc FROM tabs) d
+            LEFT JOIN (SELECT * FROM first WHERE rk = 1) f ON d.doc = f.doc
+            ORDER BY d.doc
+        """,
+        "q_f8_f9_gstr_locator": r"""
+            WITH tabs AS (SELECT doc, tbl_id, cols, rws, raw,
+                                 list_transform(cols, c -> lower(c)) AS lc,
+                                 regexp_replace(lower(raw), '\s+', ' ', 'g') AS nraw
+                          FROM (VALUES
+                (1, 0, ['Nature of Supplies', 'Integrated Tax', 'Central Tax', 'Total Taxable value'],
+                       [['(a) Outward taxable supplies', '10', '20', '1,50,000.50'],
+                        ['(b) other', '1', '2', '3']], ''),
+                (2, 0, ['col a', 'col b'],
+                       [['(a) outward', '2,000']], 'Table 3.1 outward supplies'),
+                (3, 0, ['x'], [['no match here']], 'nothing relevant'))
+                AS v(doc, tbl_id, cols, rws, raw)),
+            sig AS (
+              SELECT *, row_number() OVER (PARTITION BY doc ORDER BY tbl_id) AS rk
+              FROM tabs
+              WHERE (len(list_filter(lc, c -> contains(c, 'integrated'))) > 0
+                     AND len(list_filter(lc, c -> contains(c, 'central'))) > 0
+                     AND len(list_filter(lc, c -> contains(c, 'taxable'))) > 0)
+                 OR (contains(nraw, '3.1')
+                     AND (contains(nraw, 'outward') OR contains(nraw, 'supplies')))),
+            located AS (
+              SELECT doc,
+                CAST(coalesce(
+                  (list_filter(list_transform(cols, (c, i) ->
+                     CASE WHEN contains(lower(c), 'taxable') AND contains(lower(c), 'value')
+                     THEN i - 1 END), x -> x IS NOT NULL))[1],
+                  CASE WHEN len(cols) > 1 THEN 1 ELSE len(cols) - 1 END) AS int) AS g_idx,
+                (list_filter(rws, r ->
+                   contains(lower(array_to_string(r, ' ')), '(a)') OR
+                   contains(lower(array_to_string(r, ' ')), 'outward taxable supplies')))[1] AS g_row
+              FROM sig WHERE rk = 1)
+            SELECT d.doc,
+                   (l.doc IS NOT NULL AND l.g_row IS NOT NULL) AS found,
+                   l.g_idx AS taxable_idx,
+                   CASE WHEN l.g_row IS NOT NULL THEN
+                     coalesce(try_cast(regexp_replace(l.g_row[l.g_idx + 1], '[^0-9.]', '', 'g')
+                                       AS double), 0.0) END AS sales
+            FROM (SELECT DISTINCT doc FROM tabs) d
+            LEFT JOIN located l ON d.doc = l.doc
+            ORDER BY d.doc
+        """,
+        "q_j3_coalesce_fallback": """
+            SELECT id, coalesce(chunk_val, report_val) AS value,
+                   CASE WHEN chunk_val IS NOT NULL THEN 'chunk'
+                        WHEN report_val IS NOT NULL THEN 'report'
+                        ELSE 'none' END AS source
+            FROM (VALUES (1, 712.0, 700.0),
+                         (2, CAST(NULL AS double), 650.0),
+                         (3, CAST(NULL AS double), CAST(NULL AS double)))
+                 AS t(id, chunk_val, report_val)
+        """,
+        "q_p5_account_parse": f"""
+            SELECT id,
+                   {_duck_field('t', 'Account Type')} AS account_type,
+                   {_duck_field('t', 'Account Remarks')} AS remarks,
+                   contains(lower(t), 'active') AS is_active,
+                   contains(lower({_duck_field('t', 'Account Type')}), 'secured') AS is_secured,
+                   {_duck_clean(_duck_field('t', 'Current Balance'))} AS current_balance,
+                   {_duck_worst_dpd('t')} AS worst_dpd
+            FROM (VALUES {_duck_acct_values()}) AS v(id, t)
+        """,
+        "q_a4_live_plbl_inline": """
+            SELECT bool_or(is_active AND
+                     (contains(lower(acct_type), 'personal loan') OR
+                      contains(lower(acct_type), 'business loan'))) AS has_live_pl_bl,
+                   NOT bool_or(is_active AND
+                     (contains(lower(acct_type), 'personal loan') OR
+                      contains(lower(acct_type), 'business loan'))) AS no_live_pl_bl
+            FROM (VALUES ('Personal Loan', false), ('Business Loan', true),
+                         ('Gold Loan', true), ('personal loan top-up', false))
+                 AS t(acct_type, is_active)
+        """,
+        "q_a9_consistency": """
+            SELECT count(DISTINCT user_id) AS n_users,
+                   CAST(0 AS bigint) AS n_mismatches
+            FROM events
+        """,
+        "q_token_stats": r"""
+            SELECT doc_id,
+                   len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+                   CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+                        w -> CAST(ceil(length(w) / 4.0) AS int) +
+                             length(regexp_replace(w, '[a-zA-Z0-9]', '', 'g'))))
+                        AS bigint) AS n_bpe_tokens_est
+            FROM documents
+        """,
+        "q_fingerprint_distinct": """
+            SELECT source, count(DISTINCT text) AS n_unique,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        # q_minhash_bands / q_simhash / q_lsh_ann_recall: engine-specific
+        # hash functions — intentionally no oracle (rows-only check).
     }

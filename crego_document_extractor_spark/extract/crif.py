@@ -1,10 +1,24 @@
 """CRIF bureau-report parameter extraction — JVM-side Spark SQL.
 
 Mirrors the reference control flow (crif.py:37-78, 123-221) for all 15
-parameters.  The per-document pipeline is shuffle-free: accounts,
-table signatures, flags, DPD aggregates and confidence ladders are all
-higher-order array expressions over the parsed nested columns; the
-only Python is the vectorized retrieval UDF (retrieval.py).
+parameters.  Physical shape: table-signature values, per-parameter
+best-chunk lookups and confidence ladders are narrow per-document SQL;
+the ACCOUNT path — the per-document hot loop — is relational:
+
+  posexplode(account chunks) → scalar regexp columns (whole-stage
+  codegen) → per-doc partial/final aggregation
+
+in a SINGLE lineage: the non-account columns ride the explode on the
+pos-0 row and are recovered with first(ignorenulls), so the parse
+stage executes once, there is no self-join, and the one shuffle
+carries only doc_id + slim scalars (the wide nested payload is
+consumed before the aggregation).  Map-side partial aggregation
+absorbs mega-docs (a 10k-account document combines to one row per map
+task — no salting needed).  The former formulation built account
+structs inside ``transform(chunks, ...)``, which is CodegenFallback:
+interpreted, allocation-heavy, and the measured single-JVM scaling
+ceiling at 32 cores.  The only Python is the vectorized retrieval UDF
+(retrieval.py).
 
 Reference-faithful quirks preserved (see oracle.py for the full list):
 
@@ -99,7 +113,7 @@ _DIRECT_REPORT_VALUE = {
 def _direct_param(i: int, spec: dict) -> str:
     pid = spec["param_id"]
     best = f"try_element_at(retr, {i + 1})"
-    bt = f"bt_{i}"
+    bt_id = f"bt_id_{i}"
     chunk_val = f"cv_{i}"
     rep_val = _DIRECT_REPORT_VALUE[pid]
     label = _DIRECT_LABEL[pid]
@@ -114,7 +128,7 @@ def _direct_param(i: int, spec: dict) -> str:
             f"* {X.boost(f'{best}.score')} END)"
             ).replace("SELECT_VALID", valid.replace("vv", value))
     source = (f"(CASE WHEN {chunk_val} IS NOT NULL "
-              f"THEN concat('{label} (from Table ', cast({bt}.id + 1 AS string), ')') "
+              f"THEN concat('{label} (from Table ', cast({bt_id} + 1 AS string), ')') "
               f"ELSE '{label}' END)")
     vtype = (f"(CASE WHEN {value} IS NULL THEN 'null' "
              f"ELSE '{'float' if is_float else 'int'}' END)")
@@ -184,23 +198,66 @@ def _derived_param(i: int, spec: dict) -> str:
                    "'int'", source, conf, "'extracted'", f"{best}.score")
 
 
-def _with_report(df: DataFrame) -> DataFrame:
-    """Report-level aggregates (parse_crif_report, crif_parser.py:7-25)
-    — all zero-shuffle higher-order exprs."""
-    df = (
-        df.withColumn("accounts", F.expr(X.ACCOUNTS))
-        .withColumn("rep_score", F.expr(X.doc_score()))
-        .withColumn("rep_summary", F.expr(X.doc_summary()))
-        .withColumn("rep_inquiries", F.expr(X.doc_inquiries()))
-        .withColumn("n_accounts", F.expr("size(accounts)"))
-        .withColumn("rep_dpd30", F.expr(X.dpd_count("accounts", 30)))
-        .withColumn("rep_dpd60", F.expr(X.dpd_count("accounts", 60)))
-        .withColumn("rep_dpd90", F.expr(X.dpd_count("accounts", 90)))
-        .withColumn("rep_live_plbl", F.expr(X.has_live_pl_bl("accounts")))
-    )
-    for pid in X.FLAG_PREDS:
-        df = df.withColumn(f"rep_m_{pid}", F.expr(X.flag_matched("accounts", pid)))
-    return df
+#: chunks holding account blocks (crif.py:395 header routing)
+_ACCT_CHUNKS = "filter(chunks, c -> startswith(c.header, 'Account Information'))"
+
+#: per-account scalar fields consumed by the report aggregates
+_ACCT_FIELDS = ("account_type", "remarks", "is_active", "worst_dpd")
+
+
+def _with_accounts(df: DataFrame, carry: list[str]) -> DataFrame:
+    """Relational account path (parse_crif_report, crif_parser.py:7-25
+    + crif_models.py:47-88).
+
+    posexplode_outer the account chunks (empty docs keep a null row),
+    compute each account field as a scalar regexp column — codegen, not
+    an interpreted lambda — and aggregate per input ROW.  The ``carry``
+    columns survive on the pos-0 row only and come back through
+    first(ignorenulls), so each doc's payload crosses the shuffle
+    exactly once and rows 1..n carry just the account scalars.
+
+    The grouping key is a per-row id, NOT doc_id: the reference
+    processes one request = one document, so two input rows that
+    happen to share a doc_id must stay independent results (row-count
+    preserved).  monotonically_increasing_id is deterministic per
+    (partition, row-index) and never appears in the output — it is
+    consumed by the aggregation inside the same single lineage."""
+    keep_pos0 = [
+        F.when(F.col("apos").isNull() | (F.col("apos") == 0), F.col(c)).alias(c)
+        for c in carry
+    ]
+    fields = X.account_fields("ac.text")
+    ex = (df.withColumn("_rid", F.monotonically_increasing_id())
+          .select("_rid", "doc_id", *carry,
+                  F.posexplode_outer(F.expr(_ACCT_CHUNKS)).alias("apos", "ac"))
+          .select("_rid", "doc_id", *keep_pos0,
+                  *[F.expr(fields[f]).alias(f) for f in _ACCT_FIELDS]))
+    valid = "(account_type IS NOT NULL AND account_type != '')"
+    live = f"({valid} AND {X.live_plbl_pred('account_type', 'is_active')})"
+    aggs = [F.first(c, ignorenulls=True).alias(c) for c in carry]
+    aggs += [
+        F.count(F.when(F.expr(valid), 1)).cast("int").alias("n_accounts"),
+        F.count(F.when(F.expr(f"{valid} AND worst_dpd >= 30"), 1))
+        .cast("int").alias("rep_dpd30"),
+        F.count(F.when(F.expr(f"{valid} AND worst_dpd >= 60"), 1))
+        .cast("int").alias("rep_dpd60"),
+        F.count(F.when(F.expr(f"{valid} AND worst_dpd >= 90"), 1))
+        .cast("int").alias("rep_dpd90"),
+        F.coalesce(F.max(F.expr(live)), F.lit(False)).alias("rep_live_plbl"),
+    ]
+    for pid, pred in X.FLAG_PREDS.items():
+        p = pred.format(r="remarks")
+        aggs.append(F.count(F.when(F.expr(f"{valid} AND {p}"), 1))
+                    .cast("int").alias(f"rep_m_{pid}"))
+    return ex.groupBy("_rid", "doc_id").agg(*aggs).drop("_rid")
+
+
+def _with_tables(df: DataFrame) -> DataFrame:
+    """Table-signature report values (crif_parser.py:28-127) — narrow
+    higher-order exprs over the small per-doc tables array."""
+    return (df.withColumn("rep_score", F.expr(X.doc_score()))
+            .withColumn("rep_summary", F.expr(X.doc_summary()))
+            .withColumn("rep_inquiries", F.expr(X.doc_inquiries())))
 
 
 _LEGACY_WEIGHTS = {"direct": "0.95d", "flag": "0.85d", "derived": "1.0d"}
@@ -211,7 +268,8 @@ def extract_crif_legacy(parsed: DataFrame) -> DataFrame:
     USE_EMBEDDING_GUIDED_EXTRACTION=False): report-level values only,
     direct_table/flag_detection/computed weights, no similarity boost,
     formatter-default 'extracted' status everywhere (incl. policy)."""
-    df = _with_report(parsed.where(F.col("doc_kind") == "crif"))
+    df = _with_tables(parsed.where(F.col("doc_kind") == "crif"))
+    df = _with_accounts(df, ["rep_score", "rep_summary", "rep_inquiries"])
     results = []
     for spec in PARAMETER_SPECS:
         pid = spec["param_id"]
@@ -261,9 +319,12 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     config.py:58)."""
     df = parsed.where(F.col("doc_kind") == "crif")
     df = with_retrieval(df)
-    df = _with_report(df)
+    df = _with_tables(df)
 
-    # per-parameter best-chunk lookups + result structs
+    # per-parameter best-chunk lookups: computed BEFORE the account
+    # aggregation while the wide tables/chunks columns are still in
+    # scope; only the slim derived scalars ride the shuffle
+    carry = ["retr", "rep_score", "rep_summary", "rep_inquiries"]
     results = []
     for i, spec in enumerate(PARAMETER_SPECS):
         pid = spec["param_id"]
@@ -276,7 +337,9 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
                 f"bt_{i}",
                 F.expr(f"CASE WHEN {best}.score IS NOT NULL AND {best}.ctype = 'table' "
                        f"THEN try_element_at(filter(tables, t -> t.id = {best}.ref_idx), 1) END"))
-            df = df.withColumn(f"cv_{i}", F.expr(_direct_chunk_value(pid, f"bt_{i}")))
+            df = (df.withColumn(f"cv_{i}", F.expr(_direct_chunk_value(pid, f"bt_{i}")))
+                  .withColumn(f"bt_id_{i}", F.expr(f"bt_{i}.id")))
+            carry += [f"cv_{i}", f"bt_id_{i}"]
             struct = _direct_param(i, spec)
         elif spec["category"] == "flag":
             if pid in X.FLAG_PREDS:
@@ -287,12 +350,14 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
             struct, inter = _flag_param(i, spec)
             for name, expr in inter.items():
                 df = df.withColumn(name, F.expr(expr))
+            carry += list(inter)
         else:
             struct = _derived_param(i, spec)
         # retrieval miss → NOT_FOUND (crif.py:154-162)
         results.append(f"(CASE WHEN {best}.score IS NULL "
                        f"THEN {_not_found_result(pid)} ELSE {struct} END)")
 
+    df = _with_accounts(df, carry)
     arr = "array(" + ", ".join(results) + ")"
     return (df.select("doc_id", F.explode(F.expr(arr)).alias("r"))
             .select("doc_id", *[f"r.{f}" for f in RESULT_FIELDS]))

@@ -80,28 +80,24 @@ def worst_dpd(text: str) -> str:
     return "greatest(" + ", ".join(dpd(payment_status(text, m)) for m in _MONTHS) + ")"
 
 
-def account_struct(text: str) -> str:
-    """parse_account_from_text (crif_parser.py:146-174) as a struct."""
+def account_fields(text: str) -> dict[str, str]:
+    """parse_account_from_text (crif_parser.py:146-174) as SCALAR
+    column expressions keyed by field name.  Applied to an exploded
+    one-row-per-account-chunk frame these all run inside whole-stage
+    codegen — unlike a struct built inside ``transform(chunks, ...)``
+    which falls back to interpreted evaluation (the round-1 scaling
+    bottleneck)."""
     at = extract_field(text, "Account Type")
-    return (
-        "named_struct("
-        f"'account_type', {at}, "
-        f"'remarks', {extract_field(text, 'Account Remarks')}, "
-        f"'is_active', contains(lower({text}), 'active'), "
-        f"'is_secured', contains(lower({at}), 'secured'), "
-        f"'current_balance', {clean_number(extract_field(text, 'Current Balance'))}, "
-        f"'overdue_amount', {clean_number(extract_field(text, 'Overdue Amt'))}, "
-        f"'sanctioned_amount', {clean_number(extract_field(text, 'Disbd Amt'))}, "
-        f"'worst_dpd', {worst_dpd(text)})"
-    )
-
-
-ACCOUNTS = (
-    "filter(transform("
-    "  filter(chunks, c -> startswith(c.header, 'Account Information')), "
-    f"  c -> {account_struct('c.text')}), "
-    "a -> a.account_type != '')"
-)
+    return {
+        "account_type": at,
+        "remarks": extract_field(text, "Account Remarks"),
+        "is_active": f"contains(lower({text}), 'active')",
+        "is_secured": f"contains(lower({at}), 'secured')",
+        "current_balance": clean_number(extract_field(text, "Current Balance")),
+        "overdue_amount": clean_number(extract_field(text, "Overdue Amt")),
+        "sanctioned_amount": clean_number(extract_field(text, "Disbd Amt")),
+        "worst_dpd": worst_dpd(text),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -222,19 +218,11 @@ FLAG_PREDS = {
 }
 
 
-def flag_matched(accounts: str, param_id: str) -> str:
-    pred = FLAG_PREDS[param_id].format(r="fa.remarks")
-    return f"size(filter({accounts}, fa -> {pred}))"
-
-
-def dpd_count(accounts: str, threshold: int) -> str:
-    return f"size(filter({accounts}, da -> da.worst_dpd >= {threshold}))"
-
-
-def has_live_pl_bl(accounts: str) -> str:
-    return (f"exists({accounts}, la -> la.is_active AND "
-            f"(contains(lower(la.account_type), 'personal loan') OR "
-            f"contains(lower(la.account_type), 'business loan')))")
+def live_plbl_pred(account_type: str, is_active: str) -> str:
+    """has_live_pl_bl per-account predicate (crif_models.py:80-88)."""
+    return (f"({is_active} AND "
+            f"(contains(lower({account_type}), 'personal loan') OR "
+            f"contains(lower({account_type}), 'business loan')))")
 
 
 # ---------------------------------------------------------------------------

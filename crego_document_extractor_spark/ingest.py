@@ -170,6 +170,296 @@ def ingest_html(raw: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PDF bytes → text runs (from-scratch minimal extractor)
+# ---------------------------------------------------------------------------
+#
+# The reference ingests real PDF bytes through a full parsing library
+# (parser.py:60-138).  This is a from-scratch minimal extractor for the
+# text-run subset the span model needs: uncompressed or FlateDecode
+# content streams, BT/ET text objects, Td/TD/Tm/T*/TL positioning and
+# Tj/TJ/'/" show operators.  Glyph bytes decode as latin-1 (simple
+# fonts); CID/composite fonts are out of scope.
+
+_PDF_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.S)
+_PDF_STREAM = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.S)
+_PDF_REF = re.compile(rb"(\d+)\s+0\s+R")
+_STR_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _pdf_objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _PDF_OBJ.finditer(data)}
+
+
+def _obj_stream(body: bytes) -> bytes | None:
+    m = _PDF_STREAM.search(body)
+    if not m:
+        return None
+    raw = m.group(1)
+    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", body):
+        import zlib
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def _parse_cmap(text: bytes) -> tuple[int, dict[int, str]]:
+    """Minimal /ToUnicode CMap: codespace length + bfchar/bfrange
+    mappings (glyph code → unicode)."""
+    mapping: dict[int, str] = {}
+    codelen = 2
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", text, re.S)
+    if m:
+        lo = re.search(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if lo:
+            codelen = max(1, len(lo.group(1)) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", text, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            mapping[int(src, 16)] = bytes.fromhex(dst.decode()).decode(
+                "utf-16-be", "ignore")
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", text, re.S):
+        body = m.group(1)
+        for lo, hi, arr in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]",
+                body, re.S):
+            for k, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                mapping[int(lo, 16) + k] = bytes.fromhex(d.decode()).decode(
+                    "utf-16-be", "ignore")
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if len(dst) <= 4:
+                base = int(dst, 16)
+                for c in range(lo_i, hi_i + 1):
+                    mapping.setdefault(c, chr(base + (c - lo_i)))
+            else:
+                mapping.setdefault(lo_i, bytes.fromhex(dst.decode()).decode(
+                    "utf-16-be", "ignore"))
+    return codelen, mapping
+
+
+def _page_fonts(objs: dict[int, bytes],
+                page_body: bytes) -> dict[bytes, tuple[int, dict]]:
+    """Font-name → parsed ToUnicode CMap for a page's /Resources (CID
+    fonts show glyph IDs in the content stream; the CMap recovers
+    text).  Fonts without a ToUnicode stream fall back to latin-1."""
+    res = page_body
+    m = re.search(rb"/Resources\s+(\d+)\s+0\s+R", page_body)
+    if m and int(m.group(1)) in objs:
+        res = objs[int(m.group(1))]
+    fonts: dict[bytes, tuple[int, dict]] = {}
+    fm = re.search(rb"/Font\s*(?:<<(.*?)>>|(\d+)\s+0\s+R)", res, re.S)
+    if not fm:
+        return fonts
+    fdict = fm.group(1)
+    if fdict is None:
+        fdict = objs.get(int(fm.group(2)), b"")
+    for name, ref in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R", fdict):
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R",
+                       objs.get(int(ref), b""))
+        if tm:
+            stream = _obj_stream(objs.get(int(tm.group(1)), b""))
+            if stream:
+                fonts[b"/" + name] = _parse_cmap(stream)
+    return fonts
+
+
+def _page_contents(data: bytes) -> list[tuple[bytes, dict]]:
+    """Ordered per-page (concatenated content stream, font CMaps)."""
+    objs = _pdf_objects(data)
+    page_ids = [n for n, b in objs.items()
+                if re.search(rb"/Type\s*/Page\b", b)]
+    # reading order: walk the /Pages tree /Kids arrays when present
+    ordered: list[int] = []
+    for n, b in sorted(objs.items()):
+        if re.search(rb"/Type\s*/Pages\b", b):
+            m = re.search(rb"/Kids\s*\[(.*?)\]", b, re.S)
+            if m:
+                ordered += [int(r) for r in _PDF_REF.findall(m.group(1))
+                            if int(r) in page_ids]
+    for n in sorted(page_ids):
+        if n not in ordered:
+            ordered.append(n)
+    pages = []
+    for pid in ordered:
+        m = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", objs[pid])
+        if not m:
+            continue
+        refs = [int(r) for r in _PDF_REF.findall(m.group(1))]
+        parts = [s for r in refs if r in objs
+                 and (s := _obj_stream(objs[r])) is not None]
+        pages.append((b"\n".join(parts), _page_fonts(objs, objs[pid])))
+    return pages
+
+
+def _pdf_tokens(content: bytes):
+    """(kind, value) token stream over a content stream: kind in
+    str/num/name/lbrack/rbrack/op."""
+    i, n = 0, len(content)
+    while i < n:
+        ch = content[i:i + 1]
+        if ch in b" \t\r\n\x00":
+            i += 1
+        elif ch == b"(":
+            j, depth, out = i + 1, 1, []
+            while j < n and depth:
+                c = content[j:j + 1]
+                if c == b"\\":
+                    nxt = content[j + 1:j + 2]
+                    if nxt in _STR_ESC:
+                        out.append(_STR_ESC[nxt])
+                        j += 2
+                    elif nxt.isdigit():
+                        k = j + 1
+                        while k < min(j + 4, n) and content[k:k + 1].isdigit():
+                            k += 1
+                        out.append(bytes([int(content[j + 1:k], 8) & 0xFF]))
+                        j = k
+                    else:
+                        j += 2
+                    continue
+                if c == b"(":
+                    depth += 1
+                elif c == b")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                out.append(c)
+                j += 1
+            yield "str", b"".join(out)
+            i = j
+        elif ch == b"<" and content[i + 1:i + 2] == b"<":
+            i += 2
+        elif ch == b"<":
+            j = content.find(b">", i)
+            j = n if j < 0 else j
+            hexs = re.sub(rb"[^0-9A-Fa-f]", b"", content[i + 1:j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            yield "str", bytes.fromhex(hexs.decode())
+            i = j + 1
+        elif ch == b">":
+            i += 2 if content[i:i + 2] == b">>" else 1
+        elif ch == b"[":
+            yield "lbrack", None
+            i += 1
+        elif ch == b"]":
+            yield "rbrack", None
+            i += 1
+        elif ch == b"/":
+            m = re.match(rb"/[^\s\[\]()<>/%]*", content[i:])
+            yield "name", m.group()
+            i += len(m.group())
+        elif ch == b"%":
+            j = content.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            m = re.match(rb"[-+]?(?:\d+\.?\d*|\.\d+)", content[i:])
+            if m:
+                yield "num", float(m.group())
+                i += len(m.group())
+                continue
+            m = re.match(rb"[A-Za-z'\"*]+[0-9*]*", content[i:])
+            if m:
+                yield "op", m.group().decode("latin-1")
+                i += len(m.group())
+            else:
+                i += 1
+
+
+def pdf_text_runs(data: bytes) -> list[dict]:
+    """PDF bytes → [{page, x, y, text}] runs.  y is emitted FLIPPED
+    (PDF user space grows upward; the banding in pdf_runs_to_spans
+    reads top-down), so ascending y is reading order."""
+    runs: list[dict] = []
+    for page_no, (content, fonts) in enumerate(_page_contents(data), start=1):
+        stack: list = []
+        x = y = 0.0
+        leading = 12.0
+        font: tuple[int, dict] | None = None
+
+        def decode(parts: list[bytes]) -> str:
+            if font is None:
+                return "".join(p.decode("latin-1") for p in parts)
+            codelen, cmap = font
+            out = []
+            for p in parts:
+                for i in range(0, len(p) - codelen + 1, codelen):
+                    out.append(cmap.get(
+                        int.from_bytes(p[i:i + codelen], "big"), ""))
+            return "".join(out)
+
+        def emit(parts: list[bytes]) -> None:
+            text = decode(parts)
+            if text.strip():
+                runs.append({"page": page_no, "x": float(x),
+                             "y": float(-y), "text": text})
+
+        for kind, val in _pdf_tokens(content):
+            if kind != "op":
+                stack.append((kind, val))
+                continue
+            op = val
+            nums = [v for k, v in stack if k == "num"]
+            strs = [v for k, v in stack if k == "str"]
+            names = [v for k, v in stack if k == "name"]
+            if op == "BT":
+                x = y = 0.0
+            elif op == "Tf" and names:
+                font = fonts.get(names[-1])
+            elif op in ("Td", "TD") and len(nums) >= 2:
+                x += nums[-2]
+                y += nums[-1]
+                if op == "TD":
+                    leading = -nums[-1] or leading
+            elif op == "Tm" and len(nums) >= 6:
+                x, y = nums[-2], nums[-1]
+            elif op == "TL" and nums:
+                leading = nums[-1]
+            elif op == "T*":
+                y -= leading
+            elif op in ("Tj", "TJ") and strs:
+                emit(strs)
+            elif op in ("'", '"'):
+                y -= leading
+                if strs:
+                    emit(strs)
+            stack.clear()
+    return runs
+
+
+_RUNS_SCHEMA = ("doc_id string, page int, x double, y double, "
+                "text string")
+
+
+def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"doc_id": [], "page": [], "x": [], "y": [], "text": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for r in pdf_text_runs(bytes(payload)):
+                out["doc_id"].append(doc_id)
+                out["page"].append(r["page"])
+                out["x"].append(r["x"])
+                out["y"].append(r["y"])
+                out["text"].append(r["text"])
+        yield pd.DataFrame(out)
+
+
+def ingest_pdf(raw: DataFrame, band_height: float = 12.0) -> DataFrame:
+    """raw(doc_id string, payload binary) → documents(doc_id, spans):
+    byte-level text extraction (Arrow-batched) + the relational y-band
+    reading-order merge below — the S1→S2 loop on real PDF bytes."""
+    runs = raw.select("doc_id", "payload").mapInPandas(
+        _pdf_batches, schema=_RUNS_SCHEMA)
+    return pdf_runs_to_spans(runs, band_height=band_height)
+
+
+# ---------------------------------------------------------------------------
 # PDF text runs → spans (pure relational, no UDF)
 # ---------------------------------------------------------------------------
 

@@ -17,6 +17,7 @@ behavior.
 from __future__ import annotations
 
 import re
+from collections import Counter
 from typing import Any, Optional
 
 import numpy as np
@@ -508,9 +509,13 @@ def embed(text: str) -> np.ndarray:
     embeddings.py:38-45.
     """
     vec = np.zeros(EMBED_DIM, dtype=np.float64)
-    for tok in _TOKEN_RE.findall(text[:EMBED_MAX_CHARS].lower()):
+    # aggregate repeated tokens first (C-speed Counter): adding sign*n
+    # is bit-identical to n additions of ±1.0 (small-integer floats are
+    # exact), so the oracle/UDF parity is preserved
+    counts = Counter(_TOKEN_RE.findall(text[:EMBED_MAX_CHARS].lower()))
+    for tok, n in counts.items():
         dim, sign = _token_feature(tok)
-        vec[dim] += sign
+        vec[dim] += sign * n
     return vec
 
 

@@ -36,7 +36,10 @@ def get_spark(app_name: str = "crego-document-extractor-spark",
         # document can't blow a batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM heap IS the whole executor pool —
+        # at 32 threads an 8g heap turns allocation into the scaling
+        # ceiling (measured: 32-core wall -27% going 8g → 32g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -78,3 +78,28 @@ def test_chunk_aware_paths_match_oracle(spark):
     suit = exp[("crif-900002", "bureau_suit_filed")]
     assert suit["source"] == "Account Remarks (1/1 accounts in chunk)"
     assert math.isclose(suit["confidence"], 0.5 * 0.7, abs_tol=1e-12)
+
+
+def test_duplicate_doc_ids_stay_independent(spark, tmp_path):
+    """Two input rows sharing a doc_id are two documents (the reference
+    processes one request = one document): extraction must preserve the
+    row count and per-row values — no cross-row merging on doc_id
+    (regression: the relational account aggregation once keyed on
+    doc_id and collapsed colliding rows)."""
+    from crego_document_extractor_spark import corpus
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    corpus.write_corpus(p1, 10, seed=7, big_doc_every=0)
+    corpus.write_corpus(p2, 10, seed=9, big_doc_every=0)  # same doc_ids
+    d1 = pipeline.load_documents(spark, p1)
+    d2 = pipeline.load_documents(spark, p2)
+
+    def rows(df):
+        return sorted(
+            tuple(repr(v) for v in r)
+            for r in pipeline.extract_parameters(
+                pipeline.parse_documents(df)).collect())
+
+    combined = rows(d1.unionByName(d2))
+    separate = sorted(rows(d1) + rows(d2))
+    assert combined == separate
