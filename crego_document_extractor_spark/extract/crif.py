@@ -103,16 +103,24 @@ _DIRECT_LABEL = {
 
 _DIRECT_REPORT_VALUE = {
     "bureau_credit_score": "rep_score",
-    "bureau_written_off_debt_amount": "rep_summary.total_writeoff_amount",
-    "bureau_max_loans": "rep_summary.total_accounts",
-    "bureau_max_active_loans": "rep_summary.active_accounts",
+    "bureau_written_off_debt_amount": "rep_sum_total_writeoff_amount",
+    "bureau_max_loans": "rep_sum_total_accounts",
+    "bureau_max_active_loans": "rep_sum_active_accounts",
     "bureau_credit_inquiries": "rep_inquiries",
 }
+
+#: doc_summary struct fields, flattened to primitive columns so every
+#: column that crosses the account aggregation has a mutable (hash-
+#: aggregable) buffer type — struct/array carries would force the
+#: whole aggregation into SortAggregate
+_SUMMARY_FIELDS = ("total_accounts", "active_accounts",
+                   "total_current_balance", "total_overdue_amount",
+                   "total_writeoff_amount")
 
 
 def _direct_param(i: int, spec: dict) -> str:
     pid = spec["param_id"]
-    best = f"try_element_at(retr, {i + 1})"
+    bscore = f"bscore_{i}"
     bt_id = f"bt_id_{i}"
     chunk_val = f"cv_{i}"
     rep_val = _DIRECT_REPORT_VALUE[pid]
@@ -125,21 +133,21 @@ def _direct_param(i: int, spec: dict) -> str:
     conf = (f"(CASE WHEN {value} IS NULL THEN 0.0d "
             f"ELSE (CASE WHEN NOT (SELECT_VALID) THEN 0.0d "
             f"WHEN {chunk_val} IS NOT NULL THEN 0.5d ELSE 0.9d END) "
-            f"* {X.boost(f'{best}.score')} END)"
+            f"* {X.boost(bscore)} END)"
             ).replace("SELECT_VALID", valid.replace("vv", value))
     source = (f"(CASE WHEN {chunk_val} IS NOT NULL "
               f"THEN concat('{label} (from Table ', cast({bt_id} + 1 AS string), ')') "
               f"ELSE '{label}' END)")
     vtype = (f"(CASE WHEN {value} IS NULL THEN 'null' "
              f"ELSE '{'float' if is_float else 'int'}' END)")
-    sim = f"(CASE WHEN {value} IS NOT NULL THEN {best}.score END)"
+    sim = f"(CASE WHEN {value} IS NOT NULL THEN {bscore} END)"
     return _result(pid, f"cast({value} AS double)", _NULLS[1], _NULLS[2],
                    vtype, source, conf, "'extracted'", sim)
 
 
 def _flag_param(i: int, spec: dict) -> str:
     pid = spec["param_id"]
-    best = f"try_element_at(retr, {i + 1})"
+    bscore = f"bscore_{i}"
     if pid in X.FLAG_PREDS:
         bc = f"bc_{i}"
         pred = X.FLAG_PREDS[pid].format(r="ba.remarks")
@@ -166,14 +174,14 @@ def _flag_param(i: int, spec: dict) -> str:
                   f"ELSE concat('Account Remarks (', cast({rep_m} AS string), "
                   f"'/', cast(n_accounts AS string), ' accounts)') END)")
         conf = (f"(CASE WHEN {chunk_ok} THEN 0.5d ELSE 0.9d END) "
-                f"* {X.boost(f'{best}.score')}")
+                f"* {X.boost(bscore)}")
     else:  # bureau_ntc_accepted — no checker, report path (crif.py:263-266)
         inter = {}
         value = "false"
         source = "concat('Account Remarks (0/', cast(n_accounts AS string), ' accounts)')"
-        conf = f"0.9d * {X.boost(f'{best}.score')}"
+        conf = f"0.9d * {X.boost(bscore)}"
     struct = _result(pid, _NULLS[0], value, _NULLS[2], "'bool'",
-                     source, conf, "'extracted'", f"{best}.score")
+                     source, conf, "'extracted'", bscore)
     return struct, inter
 
 
@@ -187,15 +195,15 @@ _DERIVED_VALUE = {
 
 def _derived_param(i: int, spec: dict) -> str:
     pid = spec["param_id"]
-    best = f"try_element_at(retr, {i + 1})"
+    bscore = f"bscore_{i}"
     value, vtype = _DERIVED_VALUE[pid]
     source = "concat('Computed from ', cast(n_accounts AS string), ' accounts')"
-    conf = f"0.9d * {X.boost(f'{best}.score')}"
+    conf = f"0.9d * {X.boost(bscore)}"
     if vtype == "bool":
         return _result(pid, _NULLS[0], f"({value})", _NULLS[2], "'bool'",
-                       source, conf, "'extracted'", f"{best}.score")
+                       source, conf, "'extracted'", bscore)
     return _result(pid, f"cast({value} AS double)", _NULLS[1], _NULLS[2],
-                   "'int'", source, conf, "'extracted'", f"{best}.score")
+                   "'int'", source, conf, "'extracted'", bscore)
 
 
 #: chunks holding account blocks (crif.py:395 header routing)
@@ -254,10 +262,18 @@ def _with_accounts(df: DataFrame, carry: list[str]) -> DataFrame:
 
 def _with_tables(df: DataFrame) -> DataFrame:
     """Table-signature report values (crif_parser.py:28-127) — narrow
-    higher-order exprs over the small per-doc tables array."""
-    return (df.withColumn("rep_score", F.expr(X.doc_score()))
-            .withColumn("rep_summary", F.expr(X.doc_summary()))
-            .withColumn("rep_inquiries", F.expr(X.doc_inquiries())))
+    higher-order exprs over the small per-doc tables array; the summary
+    struct is flattened to primitive columns (see _SUMMARY_FIELDS)."""
+    df = (df.withColumn("rep_score", F.expr(X.doc_score()))
+          .withColumn("rep_summary", F.expr(X.doc_summary()))
+          .withColumn("rep_inquiries", F.expr(X.doc_inquiries())))
+    for fld in _SUMMARY_FIELDS:
+        df = df.withColumn(f"rep_sum_{fld}", F.col(f"rep_summary.{fld}"))
+    return df.drop("rep_summary")
+
+#: primitive report columns carried across the account aggregation
+_REP_CARRY = ["rep_score", "rep_inquiries"] + [
+    f"rep_sum_{fld}" for fld in _SUMMARY_FIELDS]
 
 
 _LEGACY_WEIGHTS = {"direct": "0.95d", "flag": "0.85d", "derived": "1.0d"}
@@ -269,7 +285,7 @@ def extract_crif_legacy(parsed: DataFrame) -> DataFrame:
     direct_table/flag_detection/computed weights, no similarity boost,
     formatter-default 'extracted' status everywhere (incl. policy)."""
     df = _with_tables(parsed.where(F.col("doc_kind") == "crif"))
-    df = _with_accounts(df, ["rep_score", "rep_summary", "rep_inquiries"])
+    df = _with_accounts(df, list(_REP_CARRY))
     results = []
     for spec in PARAMETER_SPECS:
         pid = spec["param_id"]
@@ -324,7 +340,7 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     # per-parameter best-chunk lookups: computed BEFORE the account
     # aggregation while the wide tables/chunks columns are still in
     # scope; only the slim derived scalars ride the shuffle
-    carry = ["retr", "rep_score", "rep_summary", "rep_inquiries"]
+    carry = list(_REP_CARRY)
     results = []
     for i, spec in enumerate(PARAMETER_SPECS):
         pid = spec["param_id"]
@@ -332,6 +348,10 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
         if spec["category"] == "policy":
             results.append(_policy_result(pid))
             continue
+        # only the best score survives past the account aggregation —
+        # a primitive column, so the aggregation stays HashAggregate
+        df = df.withColumn(f"bscore_{i}", F.expr(f"{best}.score"))
+        carry.append(f"bscore_{i}")
         if spec["category"] == "direct":
             df = df.withColumn(
                 f"bt_{i}",
@@ -354,7 +374,7 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
         else:
             struct = _derived_param(i, spec)
         # retrieval miss → NOT_FOUND (crif.py:154-162)
-        results.append(f"(CASE WHEN {best}.score IS NULL "
+        results.append(f"(CASE WHEN bscore_{i} IS NULL "
                        f"THEN {_not_found_result(pid)} ELSE {struct} END)")
 
     df = _with_accounts(df, carry)
