@@ -607,6 +607,25 @@ def _q_fingerprint_distinct(spark, sf):
                  F.count("*").alias("n_docs")))
 
 
+def _q_multimodal_features(spark, sf):
+    """Multimodal plumbing: opaque binary payload column → Arrow
+    mapInPandas decode/feature stage (ops/multimodal.py; decode itself
+    is a documented stub).  The oracle checks the JVM↔Python byte
+    fidelity end-to-end: payload length + sha256 content key computed
+    in Python must match DuckDB's over the same bytes."""
+    from crego_document_extractor_spark.ops.multimodal import (
+        extract_media_features)
+    d = _t(spark, sf, "documents").where("doc_id % 25 = 0")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("img:"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.encode(F.expr("substring(text, 1, 64)"), "utf-8").alias("payload"),
+        F.expr("map('src', source)").alias("meta"))
+    return extract_media_features(media).select(
+        "doc_id", "media_ref", "media_kind", "n_bytes", "content_key")
+
+
 def _q_lsh_ann_recall(spark, sf):
     """LSH-bucketed ANN vs exact brute force: recall@10 per query —
     Spark-only (bucket hashes are engine-specific); the recall column
@@ -662,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a9_consistency": _q_a9_consistency,
         "q_token_stats": _q_token_stats,
         "q_fingerprint_distinct": _q_fingerprint_distinct,
+        "q_multimodal_features": _q_multimodal_features,
         "q_lsh_ann_recall": _q_lsh_ann_recall,
     }
 
@@ -1098,6 +1118,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(DISTINCT text) AS n_unique,
                    count(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        "q_multimodal_features": """
+            SELECT CAST(doc_id AS varchar) AS doc_id,
+                   'img:' || CAST(doc_id AS varchar) AS media_ref,
+                   'image' AS media_kind,
+                   CAST(octet_length(encode(substring(text, 1, 64))) AS int)
+                     AS n_bytes,
+                   sha256(substring(text, 1, 64)) AS content_key
+            FROM documents WHERE doc_id % 25 = 0
         """,
         # q_minhash_bands / q_simhash / q_lsh_ann_recall: engine-specific
         # hash functions — intentionally no oracle (rows-only check).

@@ -213,7 +213,8 @@ _ACCT_CHUNKS = "filter(chunks, c -> startswith(c.header, 'Account Information'))
 _ACCT_FIELDS = ("account_type", "remarks", "is_active", "worst_dpd")
 
 
-def _with_accounts(df: DataFrame, carry: list[str]) -> DataFrame:
+def _with_accounts(df: DataFrame, carry: list[str],
+                   extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Relational account path (parse_crif_report, crif_parser.py:7-25
     + crif_models.py:47-88).
 
@@ -236,9 +237,9 @@ def _with_accounts(df: DataFrame, carry: list[str]) -> DataFrame:
     ]
     fields = X.account_fields("ac.text")
     ex = (df.withColumn("_rid", F.monotonically_increasing_id())
-          .select("_rid", "doc_id", *carry,
+          .select("_rid", "doc_id", *extra_keys, *carry,
                   F.posexplode_outer(F.expr(_ACCT_CHUNKS)).alias("apos", "ac"))
-          .select("_rid", "doc_id", *keep_pos0,
+          .select("_rid", "doc_id", *extra_keys, *keep_pos0,
                   *[F.expr(fields[f]).alias(f) for f in _ACCT_FIELDS]))
     valid = "(account_type IS NOT NULL AND account_type != '')"
     live = f"({valid} AND {X.live_plbl_pred('account_type', 'is_active')})"
@@ -257,7 +258,11 @@ def _with_accounts(df: DataFrame, carry: list[str]) -> DataFrame:
         p = pred.format(r="remarks")
         aggs.append(F.count(F.when(F.expr(f"{valid} AND {p}"), 1))
                     .cast("int").alias(f"rep_m_{pid}"))
-    return ex.groupBy("_rid", "doc_id").agg(*aggs).drop("_rid")
+    # non-primitive values that must survive the aggregation ride as
+    # GROUP KEYS (all functionally dependent on _rid): group keys may
+    # be strings without breaking HashAggregate, aggregate buffers may
+    # not.
+    return ex.groupBy("_rid", "doc_id", *extra_keys).agg(*aggs).drop("_rid")
 
 
 def _with_tables(df: DataFrame) -> DataFrame:
@@ -333,9 +338,26 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     """parsed (doc_kind='crif') → long results table, one row per
     (doc_id, param_id) — embedding-guided mode (the reference default,
     config.py:58)."""
-    df = parsed.where(F.col("doc_kind") == "crif")
-    df = with_retrieval(df)
+    return extract_all(parsed.where(F.col("doc_kind") == "crif"))
+
+
+def extract_all(parsed: DataFrame) -> DataFrame:
+    """UNIFIED single-plan extraction for both document kinds.
+
+    The obvious formulation — ``extract_crif(parsed) UNION
+    extract_gstr(parsed)`` — references the parse stage from two plan
+    branches, and Spark executes the Python parse once PER BRANCH
+    (measured: every document crossed the parse UDF twice).  Here kind
+    routing (main.py:66-69) is a CASE over the per-kind result arrays
+    inside ONE lineage, so the parse and retrieval stages run exactly
+    once; rows of other kinds explode an empty array (dropped), and
+    the per-kind expression forests evaluate harmlessly on the other
+    kind's rows."""
+    from .gstr import GSTR_CARRY, GSTR_KEYS, gstr_result_structs, with_gstr_columns
+
+    df = with_retrieval(parsed)
     df = _with_tables(df)
+    df = with_gstr_columns(df)
 
     # per-parameter best-chunk lookups: computed BEFORE the account
     # aggregation while the wide tables/chunks columns are still in
@@ -377,7 +399,10 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
         results.append(f"(CASE WHEN bscore_{i} IS NULL "
                        f"THEN {_not_found_result(pid)} ELSE {struct} END)")
 
-    df = _with_accounts(df, carry)
-    arr = "array(" + ", ".join(results) + ")"
+    carry += GSTR_CARRY
+    df = _with_accounts(df, carry, extra_keys=("doc_kind", *GSTR_KEYS))
+    arr = (f"CASE WHEN doc_kind = 'crif' THEN array({', '.join(results)}) "
+           f"WHEN doc_kind = 'gstr' THEN {gstr_result_structs()} "
+           f"ELSE array() END")
     return (df.select("doc_id", F.explode(F.expr(arr)).alias("r"))
             .select("doc_id", *[f"r.{f}" for f in RESULT_FIELDS]))

@@ -70,5 +70,11 @@ def best_chunks(cands: pd.Series) -> pd.Series:
 
 
 def with_retrieval(parsed_df):
-    """Add the per-parameter best-chunk column (zero-shuffle)."""
-    return parsed_df.withColumn("retr", best_chunks(F.expr(CANDIDATES_EXPR)))
+    """Add the per-parameter best-chunk column (zero-shuffle).
+
+    Kind-aware: only crif documents have retrieval candidates
+    (crif.py:80-121); other kinds ship an empty candidate list into the
+    UDF (near-free) so the unified single-plan extraction can run the
+    Python stage exactly once over the whole corpus."""
+    cands = f"CASE WHEN doc_kind = 'crif' THEN {CANDIDATES_EXPR} ELSE array() END"
+    return parsed_df.withColumn("retr", best_chunks(F.expr(cands)))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .parse import parse_documents, load_documents
-from .extract.crif import extract_crif, extract_crif_legacy
+from .extract.crif import extract_all, extract_crif, extract_crif_legacy
 from .extract.gstr import extract_gstr
 
 __all__ = ["load_documents", "parse_documents", "clean_spans",
@@ -46,12 +46,15 @@ def clean_spans(parsed: DataFrame) -> DataFrame:
 
 
 def extract_parameters(parsed: DataFrame, mode: str = "embedding") -> DataFrame:
-    """Route by document kind (main.py:66-69) and union the long
-    results tables.  mode='embedding' is the reference default
-    (config.py:58); mode='legacy' is the direct-parsing path
+    """Route by document kind (main.py:66-69).  mode='embedding' (the
+    reference default, config.py:58) runs the UNIFIED single-plan
+    extraction — kind routing is a CASE inside one lineage, so the
+    Python parse stage executes exactly once (a plan-level union would
+    re-run it per branch).  mode='legacy' is the direct-parsing path
     (crif_legacy.py)."""
-    crif = extract_crif(parsed) if mode == "embedding" else extract_crif_legacy(parsed)
-    return crif.unionByName(extract_gstr(parsed))
+    if mode == "embedding":
+        return extract_all(parsed)
+    return extract_crif_legacy(parsed).unionByName(extract_gstr(parsed))
 
 
 def run(docs: DataFrame, repartition: bool = True) -> tuple[DataFrame, DataFrame]:

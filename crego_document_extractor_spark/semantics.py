@@ -17,6 +17,7 @@ behavior.
 from __future__ import annotations
 
 import re
+import zlib
 from collections import Counter
 from typing import Any, Optional
 
@@ -486,14 +487,16 @@ _TOKEN_MEMO_MAX = 1 << 20
 
 
 def _token_feature(tok: str) -> tuple[int, float]:
-    """Deterministic FNV-1a 32-bit hash → (dimension, sign).  Stable
-    across processes (unlike Python's salted hash())."""
+    """Deterministic CRC-32 hash → (dimension, sign).  Stable across
+    processes (unlike Python's salted hash()) and C-speed: the former
+    pure-Python per-byte FNV loop made cold (memo-miss) workers ~10x
+    slower than warm ones, which showed up as a multi-run warm-up
+    cliff at high worker counts (each of 32 workers must see the
+    vocabulary before its memo saturates)."""
     f = _TOKEN_MEMO.get(tok)
     if f is not None:
         return f
-    h = 2166136261
-    for ch in tok.encode("utf-8"):
-        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    h = zlib.crc32(tok.encode("utf-8"))
     f = (h % EMBED_DIM, 1.0 if (h >> 8) & 1 else -1.0)
     if len(_TOKEN_MEMO) < _TOKEN_MEMO_MAX:
         _TOKEN_MEMO[tok] = f

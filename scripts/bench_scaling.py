@@ -34,8 +34,13 @@ def child(cpus: int, corpus: str) -> None:
     docs = pipeline.ensure_parallelism(spark.read.parquet(corpus),
                                        min_partitions=cpus * 4).persist()
     docs.count()  # pin the raw input; the job under test is parse+extract
-    # warm JVM/JIT + python workers
+    # warm python workers, then ONE FULL run: at 32 threads the giant
+    # codegen methods take a full pass to JIT, and until they compile
+    # the interpreted JVM contends with the python workers (~3x CPU/doc
+    # inflation).  A production executor pool is long-lived, so timed
+    # runs measure the warm steady state.
     pipeline.extract_parameters(parse_documents(docs.limit(64))).count()
+    pipeline.extract_parameters(parse_documents(docs)).count()
 
     best, n_rows = float("inf"), 0
     for _ in range(RUNS):

@@ -74,10 +74,12 @@ def test_chunk_aware_paths_match_oracle(spark):
     # regressing into report-level fallbacks)
     score = exp[("crif-900001", "bureau_credit_score")]
     assert score["source"] == "Verification Table (from Table 1)"
-    assert math.isclose(score["confidence"], 0.5 * 0.9, abs_tol=1e-12)  # chunk_aware × boost(0.767)
+    assert math.isclose(score["confidence"], 0.5 * 0.9, abs_tol=1e-12)  # chunk_aware × boost(0.745)
+    assert 0.70 <= score["similarity_score"] < 0.85  # the 0.9 tier
     suit = exp[("crif-900002", "bureau_suit_filed")]
     assert suit["source"] == "Account Remarks (1/1 accounts in chunk)"
-    assert math.isclose(suit["confidence"], 0.5 * 0.7, abs_tol=1e-12)
+    assert math.isclose(suit["confidence"], 0.5 * 0.9, abs_tol=1e-12)  # chunk_aware × boost(0.701)
+    assert 0.70 <= suit["similarity_score"] < 0.85
 
 
 def test_duplicate_doc_ids_stay_independent(spark, tmp_path):
