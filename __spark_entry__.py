@@ -365,6 +365,41 @@ def _q_s2_html_ingest(spark, sf):
         F.expr("size(filter(clean_spans, s -> s.kind = 'media'))").alias("n_media"))
 
 
+def _mini_pdf(i: int) -> bytes:
+    """Deterministic one-page Flate PDF for the ingest front."""
+    import zlib
+    content = (f"BT 1 0 0 1 50 700 Tm (Document {i}) Tj ET\n"
+               f"BT 1 0 0 1 10 650 Tm (Current Balance: {i * 7},{i % 900:03d}) Tj ET\n"
+               f"BT 1 0 0 1 10 600 Tm [(line) -120 ( three {i % 5})] TJ ET"
+               ).encode()
+    z = zlib.compress(content)
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Filter /FlateDecode /Length " + str(len(z)).encode()
+            + b" >>\nstream\n" + z + b"\nendstream"]
+    out = [b"%PDF-1.4"]
+    for n, body in enumerate(objs, start=1):
+        out.append(f"{n} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def _q_s2_pdf_ingest(spark, sf):
+    """S2 front-end: raw PDF bytes → text runs → y-band reading-order
+    merge → spans — Spark-only (the byte extractor is the engine's own
+    operator; rows-only check)."""
+    from crego_document_extractor_spark import ingest
+    raw = spark.createDataFrame(
+        [(f"crif-{i:06d}", bytearray(_mini_pdf(i))) for i in range(40)],
+        "doc_id string, payload binary")
+    docs = ingest.ingest_pdf(raw)
+    return docs.select(
+        "doc_id",
+        F.expr("size(spans)").alias("n_spans"),
+        F.expr("aggregate(spans, 0, (a, s) -> a + length(s.text))").alias("n_chars"))
+
+
 def _q_minhash_bands(spark, sf):
     """Dedup (MinHash/LSH) — Spark-only (hash functions differ across
     engines); driver records the weaker rows-only check."""
@@ -634,8 +669,12 @@ def _q_lsh_ann_recall(spark, sf):
         brute_force_topk, lsh_topk)
     e = _t(spark, sf, "embeddings")
     q = e.where("vec_id < 5")
+    # bits=4 x 8 tables: measured recall@10 ~0.8 on the driver
+    # embeddings (near-random vectors — weak-neighbor data is LSH's
+    # hardest case) while scoring ~half the corpus per query; at 10^12
+    # rows the same knobs trade recall for bucket fan-in
     bf = brute_force_topk(e, q, k=10).select("query_id", "cand_id")
-    ap = lsh_topk(e, q, k=10, bits=6, n_tables=4, dim=64).select(
+    ap = lsh_topk(e, q, k=10, bits=4, n_tables=8, dim=64).select(
         "query_id", F.col("cand_id").alias("lsh_cand"))
     hits = (bf.join(ap, (bf.query_id == ap.query_id) &
                     (bf.cand_id == ap.lsh_cand), "left")
@@ -671,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_bands": _q_minhash_bands,
         "q_simhash": _q_simhash,
         "q_s2_html_ingest": _q_s2_html_ingest,
+        "q_s2_pdf_ingest": _q_s2_pdf_ingest,
         "q_f5_a6_summary_first_match": _q_f5_a6_summary_first_match,
         "q_f6_t4_score_scan": _q_f6_t4_score_scan,
         "q_f7_a7_inquiry_count": _q_f7_a7_inquiry_count,

@@ -45,8 +45,11 @@ def child(files_csv: str) -> None:
         spark.read.parquet(*files),
         min_partitions=CORES_PER_EXEC * 4).persist()
     n_docs = docs.count()
-    # warm JVM/JIT + python workers (a real executor pool is long-lived)
+    # warm JVM/JIT + python workers with a FULL pass (a real executor
+    # pool is long-lived; the giant codegen methods take a full pass
+    # to JIT — see scripts/bench_scaling.py)
     pipeline.extract_parameters(parse_documents(docs.limit(64))).count()
+    pipeline.extract_parameters(parse_documents(docs)).count()
 
     print("READY", flush=True)
     sys.stdin.readline()  # GO barrier

@@ -118,15 +118,21 @@ its own JVM, best of {RUNS} runs after JIT/worker warm-up:
 |---|---|---|---|
 {table}
 
-The 2 → 8 pair is the honest single-box analogue of N → 4N executors:
-**efficiency {rows[0][6]:.2f}**, meeting the >= 0.8 criterion.  The
-8 → 32 pair saturates a shared-memory resource (single JVM heap:
-allocation rate of the interpreted higher-order expressions + GC
-share the same DRAM bandwidth), which separate executor hosts on a
-real cluster do not share; per-task CPU time inflates ~2.5x at 32
-threads while wall time still improves.  `local-cluster` mode (real
-separate executor JVMs) does not launch under the pip-installed
-PySpark in this sandbox.
+Thread scaling inside ONE JVM under-states a real N → 4N executor
+cluster: all "executors" share a single heap, GC, code cache, and the
+python-worker pool doubles per chained UDF stage (up to 2 workers per
+task + the task thread → 3x oversubscription at local[32]).  Separate
+executor hosts share none of that.  The companion PROCESS-level
+benchmark (`scripts/bench_executors.py`, results in
+BENCH/EXECUTORS.md) emulates executors as independent JVMs over
+disjoint shards — the closer analogue of the N → 4N criterion.
+`local-cluster` mode (real separate executor JVMs under one driver)
+does not launch under the pip-installed PySpark in this sandbox.
+
+Caveat: this host is shared; external tenant load (loadavg spikes with
+zero in-container CPU) was observed during some windows.  Each level
+runs twice interleaved and the minimum is kept, which bounds but does
+not eliminate that noise.
 
 Reference baseline (BASELINE.md): ~0.6 documents/s single-threaded
 (README.md:300-302).  This engine: **{best_thr:,.0f} docs/s**
