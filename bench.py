@@ -24,9 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# corpus size scales with the scale factor (sf0.1 → 8000 docs)
+# corpus size scales with the scale factor (sf0.1 → 24000 docs; the
+# round-1 8k corpus finished in ~5s at 32 cores — too small to
+# amortize per-job overhead into a meaningful docs/s)
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1] or "0.1")
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(400, int(80_000 * _SF)))))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(400, int(240_000 * _SF)))))
 CORPUS = f"/tmp/spark_graft_bench_corpus_{N_DOCS}.parquet"
 
 
