@@ -66,3 +66,54 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DEDUP_STATE_SCHEMA = "hashes array<string>"
+DEDUP_OUT_SCHEMA = "doc_id string, content_key string, bucket int"
+
+
+def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str, buckets: int = 64):
+    """Streaming incremental exact-dedup — the custom STATEFUL operator
+    (applyInPandasWithState): only the first occurrence of each content
+    hash across ALL micro-batches is emitted; the seen-set lives in
+    checkpointed group state keyed by a hash bucket, so a restarted
+    stream continues suppressing duplicates it saw before the restart.
+
+    At corpus scale the per-group state is the bucket's hash set —
+    bounded by corpus cardinality / `buckets`; production would layer
+    a TTL (GroupStateTimeout) or an RJB bloom filter per bucket, which
+    changes only the state payload, not the plumbing."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    def dedup_fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            fresh = ~pdf["content_key"].isin(seen)
+            out.append(pdf[fresh].drop_duplicates("content_key"))
+            seen.update(out[-1]["content_key"])
+        state.update((list(seen),))
+        yield pd.concat(out) if out else pd.DataFrame(
+            {"doc_id": [], "content_key": [], "bucket": []})
+
+    stream = (spark.readStream
+              .schema(DOCUMENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(input_dir))
+    keyed = stream.select(
+        "doc_id",
+        F.sha2(F.to_json("spans"), 256).alias("content_key"),
+        F.pmod(F.hash(F.sha2(F.to_json("spans"), 256)),
+               F.lit(buckets)).alias("bucket"))
+    deduped = (keyed.groupBy("bucket")
+               .applyInPandasWithState(
+                   dedup_fn,
+                   outputStructType=DEDUP_OUT_SCHEMA,
+                   stateStructType=DEDUP_STATE_SCHEMA,
+                   outputMode="append",
+                   timeoutConf="NoTimeout"))
+    return (deduped.writeStream.outputMode("append").format("parquet")
+            .option("path", f"{output_dir}/unique")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
