@@ -642,6 +642,20 @@ def _q_fingerprint_distinct(spark, sf):
                  F.count("*").alias("n_docs")))
 
 
+def _q_dedup_embedding(spark, sf):
+    """Dedup (embedding-cosine near-dup): exact cosine pair filter —
+    the verify stage of ops/dedup.embedding_near_duplicates (whose LSH
+    candidate generation is the scale path, pytest-verified)."""
+    from crego_document_extractor_spark.ops.similarity import cosine_expr
+    e = _t(spark, sf, "embeddings").where("vec_id < 300")
+    a = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("v1"))
+    b = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("v2"))
+    return (a.join(b, F.col("d1") < F.col("d2"))
+            .withColumn("sim", F.expr(cosine_expr("v1", "v2")))
+            .where("sim >= 0.4")
+            .select("d1", "d2", F.round("sim", 6).alias("sim")))
+
+
 def _q_multimodal_features(spark, sf):
     """Multimodal plumbing: opaque binary payload column → Arrow
     mapInPandas decode/feature stage (ops/multimodal.py; decode itself
@@ -722,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": _q_token_stats,
         "q_fingerprint_distinct": _q_fingerprint_distinct,
         "q_multimodal_features": _q_multimodal_features,
+        "q_dedup_embedding": _q_dedup_embedding,
         "q_lsh_ann_recall": _q_lsh_ann_recall,
     }
 
@@ -1167,6 +1182,18 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bytes,
                    sha256(substring(text, 1, 64)) AS content_key
             FROM documents WHERE doc_id % 25 = 0
+        """,
+        "q_dedup_embedding": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) >= 0.4
         """,
         # q_minhash_bands / q_simhash / q_lsh_ann_recall: engine-specific
         # hash functions — intentionally no oracle (rows-only check).

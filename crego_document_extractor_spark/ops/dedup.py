@@ -139,3 +139,35 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
             .withColumn("jaccard", F.expr("common / (n1 + n2 - common)"))
             .where(F.col("jaccard") >= threshold)
             .select("d1", "d2", "jaccard"))
+
+
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.9,
+                              bits: int = 4, n_tables: int = 8,
+                              dim: int = 64, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from
+    signed-random-projection LSH buckets (only same-bucket pairs are
+    scored — O(N²/2^bits) per table instead of the full cross join),
+    verified with exact JVM cosine ≥ threshold.  Same scale shape as
+    MinHash banding: bucket groupBy, bounded fan-out, exact verify."""
+    from .similarity import _rand_proj_bits, cosine_expr
+
+    frames = []
+    for t in range(n_tables):
+        frames.append(df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.lit(t).alias("tbl"),
+            F.expr(_rand_proj_bits(vec_col, dim, bits, t)).alias("bucket")))
+    b = frames[0]
+    for o in frames[1:]:
+        b = b.unionByName(o)
+    a, c = b.alias("a"), b.alias("b")
+    cand = (a.join(c, (F.col("a.tbl") == F.col("b.tbl")) &
+                      (F.col("a.bucket") == F.col("b.bucket")) &
+                      (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("d1"), F.col("a.v").alias("v1"),
+                    F.col("b.id").alias("d2"), F.col("b.v").alias("v2"))
+            .distinct())
+    return (cand.withColumn("sim", F.expr(cosine_expr("v1", "v2")))
+            .where(F.col("sim") >= threshold)
+            .select("d1", "d2", F.round("sim", 6).alias("sim")))

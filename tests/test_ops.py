@@ -158,3 +158,28 @@ def test_jvm_embed_matches_python_oracle(spark):
            df.select(F.expr(embed_expr("content"))).collect()]
     exp = [list(S.embed(t)) for t in texts]
     assert got == exp
+
+
+def test_embedding_near_duplicates_finds_planted_dups(spark):
+    """LSH-bucketed embedding near-dup: planted near-identical vectors
+    must be found; verified pairs must equal the exact cosine filter
+    over its own candidates (no false positives)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64).astype("float64")
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant 5 near-duplicates of vectors 0..4 (tiny perturbation)
+    for j in range(5):
+        rows.append((100 + j, (base[j] + 0.01 * rng.randn(64)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["d1"], r["d2"]): r["sim"] for r in
+           dedup.embedding_near_duplicates(df, threshold=0.95).collect()}
+    for j in range(5):
+        assert (j, 100 + j) in got and got[(j, 100 + j)] > 0.99
+    # exact check: every returned pair really is >= threshold
+    vecs = {i: v for i, v in rows}
+    for (a, b), s in got.items():
+        va, vb = np.array(vecs[a]), np.array(vecs[b])
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= 0.95 and abs(cos - s) < 1e-5
