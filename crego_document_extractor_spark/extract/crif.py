@@ -341,18 +341,52 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     return extract_all(parsed.where(F.col("doc_kind") == "crif"))
 
 
-def extract_all(parsed: DataFrame) -> DataFrame:
+def extract_all(parsed: DataFrame, engine: str = "sql") -> DataFrame:
     """UNIFIED single-plan extraction for both document kinds.
 
-    The obvious formulation — ``extract_crif(parsed) UNION
-    extract_gstr(parsed)`` — references the parse stage from two plan
-    branches, and Spark executes the Python parse once PER BRANCH
-    (measured: every document crossed the parse UDF twice).  Here kind
-    routing (main.py:66-69) is a CASE over the per-kind result arrays
-    inside ONE lineage, so the parse and retrieval stages run exactly
-    once; rows of other kinds explode an empty array (dropped), and
-    the per-kind expression forests evaluate harmlessly on the other
-    kind's rows."""
+    Kind routing (main.py:66-69) is a CASE over per-kind result arrays
+    inside ONE lineage, so the parse stage executes exactly once (a
+    plan-level union re-runs the Python parse per branch — measured).
+
+    engine='sql' (default, round 3): the retrieval stage runs JVM-side
+    (retrieval_sql.py) — zero Python beyond the Arrow parse.
+    engine='udf': the round-2 Arrow pandas_udf retrieval — kept as an
+    INDEPENDENT physical plan for the A9 consistency check
+    (test_accuracy.py:79-115 analogue: two engines must agree)."""
+    if engine == "sql":
+        from .gstr import gstr_result_structs, with_gstr_columns
+        from .retrieval_sql import relational_extract_columns
+
+        df = _with_tables(parsed)
+        df = with_gstr_columns(df)
+        df = relational_extract_columns(df)
+        results = []
+        for i, spec in enumerate(PARAMETER_SPECS):
+            pid = spec["param_id"]
+            if spec["category"] == "policy":
+                results.append(_policy_result(pid))
+                continue
+            if spec["category"] == "direct":
+                struct = _direct_param(i, spec)
+            elif spec["category"] == "flag":
+                struct, _ = _flag_param(i, spec)
+            else:
+                struct = _derived_param(i, spec)
+            # retrieval miss → NOT_FOUND (crif.py:154-162)
+            results.append(f"(CASE WHEN bscore_{i} IS NULL "
+                           f"THEN {_not_found_result(pid)} ELSE {struct} END)")
+        arr = (f"CASE WHEN doc_kind = 'crif' THEN array({', '.join(results)}) "
+               f"WHEN doc_kind = 'gstr' THEN {gstr_result_structs()} "
+               f"ELSE array() END")
+        return (df.select("doc_id", F.explode(F.expr(arr)).alias("r"))
+                .select("doc_id", *[f"r.{f}" for f in RESULT_FIELDS]))
+    return extract_all_udf(parsed)
+
+
+def extract_all_udf(parsed: DataFrame) -> DataFrame:
+    """Round-2 physical plan: Arrow pandas_udf retrieval + separate
+    account aggregation.  Semantically identical to extract_all('sql');
+    kept as the second engine for the consistency harness."""
     from .gstr import GSTR_CARRY, GSTR_KEYS, gstr_result_structs, with_gstr_columns
 
     df = with_retrieval(parsed)
