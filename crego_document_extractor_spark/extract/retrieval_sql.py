@@ -61,16 +61,27 @@ assert all(qn > 0.0 for qn in _QN), "zero-norm retrieval query vector"
 #: the untruncated chunk for the chunk-aware flag path and the account
 #: routing (crif.py:388-422, crif_parser.py:7-25).  Non-crif kinds get
 #: an empty array -> posexplode_outer keeps one null-unit carrier row.
+#: `atext` is the account-chunk routing (crif_parser.py:7-25) resolved
+#: at unit-build time: the chunk text when the header marks an account
+#: chunk, else NULL.  The account-field regexps downstream are then
+#: UNCONDITIONAL expressions over atext — codegen subexpression
+#: elimination only hoists subtrees evaluated on every path, so a
+#: `CASE WHEN is_acct THEN <regex forest>` gate re-evaluates the
+#: shared `lower(strip(payment_status(...)))` chains per CASE branch
+#: (measured ~8x the regexp work); NULL-in→NULL-out propagation makes
+#: the unconditional form free on non-account units.
 _UNITS = (
     "CASE WHEN doc_kind = 'crif' THEN concat("
     "transform(tables, t -> named_struct("
     "'ctype', 'table', 'ref_idx', t.id, "
     f"'content', substring(t.raw, 1, {S.MAX_CHUNK_CHARS}), "
-    "'header', CAST(NULL AS string), 'fulltext', CAST(NULL AS string))), "
+    "'fulltext', CAST(NULL AS string), 'atext', CAST(NULL AS string))), "
     "transform(chunks, c -> named_struct("
     "'ctype', 'text', 'ref_idx', c.chunk_idx, "
     f"'content', substring(c.text, 1, {S.MAX_CHUNK_CHARS}), "
-    "'header', c.header, 'fulltext', c.text))) "
+    "'fulltext', c.text, "
+    "'atext', CASE WHEN startswith(c.header, 'Account Information') "
+    "THEN c.text END))) "
     "ELSE array() END"
 )
 
@@ -132,12 +143,14 @@ def relational_extract_columns(df: DataFrame) -> DataFrame:
         "CASE WHEN u.ctype = 'table' THEN "
         "try_element_at(filter(tables, t -> t.id = u.ref_idx), 1) END"))
     ex = ex.withColumn("ca_u", F.expr(_CA))
-    af = X.account_fields("u.fulltext")
-    is_acct = "(u.ctype = 'text' AND startswith(u.header, 'Account Information'))"
-    ex = (ex.withColumn("a_type", F.expr(f"CASE WHEN {is_acct} THEN {af['account_type']} END"))
-          .withColumn("a_valid", F.expr("coalesce(a_type != '', false)"))
-          .withColumn("a_remarks", F.expr(f"CASE WHEN a_valid THEN {af['remarks']} END"))
-          .withColumn("a_dpd", F.expr(f"CASE WHEN a_valid THEN {af['worst_dpd']} ELSE 0 END"))
+    # account fields: UNCONDITIONAL over the nullable u.atext (see the
+    # _UNITS comment) — null units short-circuit through every regexp
+    af = X.account_fields("u.atext")
+    ex = (ex.withColumn("a_type", F.expr(af["account_type"]))
+          .withColumn("a_valid", F.expr(
+              "coalesce(a_type IS NOT NULL AND a_type != '', false)"))
+          .withColumn("a_remarks", F.expr(af["remarks"]))
+          .withColumn("a_dpd", F.expr(af["worst_dpd"]))
           .withColumn("a_live", F.expr(
               "coalesce(a_valid AND "
               + X.live_plbl_pred("a_type", af["is_active"]) + ", false)")))
@@ -161,17 +174,26 @@ def relational_extract_columns(df: DataFrame) -> DataFrame:
     for i in direct_idx:
         pid = PARAMETER_SPECS[i]["param_id"]
         unit_cols[f"ucv_{i}"] = f"cast({_direct_chunk_value(pid, 'u_table')} AS double)"
+    # MATERIALIZE the unit scalars (and the carrier-null doc values)
+    # BELOW the token explode: exprs listed in the same select as a
+    # generator end up in a Project ABOVE the Generate and re-evaluate
+    # once per TOKEN row (~30x per unit — measured, the lambda forests
+    # made that the dominant cost).  withColumn before the explode pins
+    # them to one evaluation per unit row.
+    carrier = "(uidx IS NULL OR uidx = 0)"
+    for n, e in unit_cols.items():
+        ex = ex.withColumn(n, F.expr(e))
+    for c in str_keys:
+        ex = ex.withColumn(f"{c}_c", F.expr(f"CASE WHEN {carrier} THEN {c} END"))
+    for c in prim_carry:
+        ex = ex.withColumn(f"{c}__n", F.expr(f"CASE WHEN {carrier} THEN {c} END"))
 
     acct_cols = ["a_valid", "a_dpd", "a_live"] + [f"af_{pid}" for pid in flag_pids]
 
-    # ---- carrier-null doc-level values + token explode
-    carrier = "(uidx IS NULL OR uidx = 0)"
     sel = [F.col("_rid"), F.col("uidx")]
-    sel += [F.expr(f"CASE WHEN {carrier} THEN {c} END").alias(f"{c}_c")
-            for c in str_keys]
-    sel += [F.expr(f"CASE WHEN {carrier} THEN {c} END").alias(c)
-            for c in prim_carry]
-    sel += [F.expr(e).alias(n) for n, e in unit_cols.items()]
+    sel += [F.col(f"{c}_c") for c in str_keys]
+    sel += [F.col(f"{c}__n").alias(c) for c in prim_carry]
+    sel += [F.col(n) for n in unit_cols]
     sel += [F.col(c) for c in acct_cols]
     # Python tokenization parity: re.findall('[a-z0-9]+', s.lower()) ==
     # split on the complement, empty pieces contributing sign 0.
