@@ -319,10 +319,12 @@ def _q_skew_salted_topk(spark, sf):
     groupBy(token, salt) partial → groupBy(token) final (ops/skew.py);
     result equals a plain group-count (the oracle)."""
     d = _t(spark, sf, "documents")
-    toks = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+    toks = (d.select("doc_id", F.posexplode(F.split("text", " ")).alias("tp", "tok"))
             .where("tok != ''"))
+    # deterministic per-occurrence salt (stable coordinates, not
+    # monotonically_increasing_id — identical across task retries)
     salted = toks.withColumn(
-        "salt", F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id())), F.lit(16)))
+        "salt", F.pmod(F.abs(F.xxhash64("doc_id", "tp")), F.lit(16)))
     partial = salted.groupBy("tok", "salt").agg(F.count("*").alias("pc"))
     final = partial.groupBy("tok").agg(F.sum("pc").alias("n"))
     return final.orderBy(F.desc("n"), F.asc("tok")).limit(20)
@@ -402,17 +404,57 @@ def _q_s2_pdf_ingest(spark, sf):
 
 def _q_minhash_bands(spark, sf):
     """Dedup (MinHash/LSH) — Spark-only (hash functions differ across
-    engines); driver records the weaker rows-only check."""
+    engines); driver records the weaker rows-only check.  The
+    oracle-checked composition is q_dedup_minhash_e2e."""
     from crego_document_extractor_spark.ops.dedup import minhash_candidate_pairs
     d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string"), "text")
     return minhash_candidate_pairs(d, n_hashes=16, bands=4)
 
 
 def _q_simhash(spark, sf):
-    """Dedup (SimHash) — Spark-only rows check."""
+    """Dedup (SimHash) — Spark-only rows check; the oracle-checked
+    composition is q_dedup_simhash_e2e."""
     from crego_document_extractor_spark.ops.dedup import simhash
     d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string"), "text")
     return simhash(d)
+
+
+def _q_dedup_minhash_e2e(spark, sf):
+    """Dedup end-to-end (MinHash LSH candidates → exact Jaccard
+    verify): the OUTPUT is engine-independent — pairs with exact
+    token-set Jaccard ≥ 0.8 on the sampled slice — provided the LSH
+    stage recalls every such pair.  At 16 hashes × 8 bands of 2 rows
+    the per-pair miss probability is (1-J²)^8 ≤ 2.8e-4 at J = 0.8,
+    and the whole pipeline is DETERMINISTIC (fixed murmur3 seeds), so
+    the recall property is checked once against the exhaustive DuckDB
+    oracle and then holds for good."""
+    from crego_document_extractor_spark.ops.dedup import (
+        minhash_candidate_pairs, ngram_jaccard_pairs)
+    d = _t(spark, sf, "documents").where("doc_id % 10 = 0").select("doc_id", "text")
+    # shingle_k=1: token-set MinHash, so the candidate metric IS the
+    # verify metric (the corpus' near-dups share token sets, not
+    # 3-gram order)
+    cand = minhash_candidate_pairs(d, n_hashes=16, bands=8, shingle_k=1)
+    return (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+            .select("d1", "d2", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _q_dedup_simhash_e2e(spark, sf):
+    """Dedup end-to-end (SimHash blocking → exact Jaccard verify):
+    same engine-independent output as the MinHash twin, generated
+    through the SimHash near-dup pipeline (prefix-bit blocking +
+    Hamming filter + exact verify)."""
+    from crego_document_extractor_spark.ops.dedup import (
+        simhash_near_duplicates, ngram_jaccard_pairs)
+    d = _t(spark, sf, "documents").where("doc_id % 10 = 0").select("doc_id", "text")
+    # distinct-token text aligns the SimHash metric with the verify
+    # metric (token-SET jaccard); banding guarantees recall to h<=11
+    ds = d.select("doc_id", F.expr(
+        "array_join(array_distinct(split(text, ' ')), ' ')").alias("text"))
+    cand = (simhash_near_duplicates(ds, max_hamming=11, n_bands=12)
+            .select("d1", "d2"))
+    return (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+            .select("d1", "d2", F.round("jaccard", 4).alias("jaccard")))
 
 
 # --- table-signature operators on inline nested tables ---------------------
@@ -622,6 +664,45 @@ def _q_a9_consistency(spark, sf):
         .alias("n_mismatches"))
 
 
+def _q_a9b_engine_agreement(spark, sf):
+    """A9 (engine form): the relational JVM extraction and the
+    Arrow-UDF extraction are INDEPENDENT physical plans of the same
+    semantics (extract/retrieval_sql.py vs extract/retrieval.py) —
+    every (doc_id, param_id) result row must agree across all value/
+    source/confidence/status fields.  Output: total rows + mismatch
+    count; the oracle pins the analytic row count (15 rows per crif
+    doc + 2 per gstr doc of the deterministic synthesized corpus) and
+    zero mismatches."""
+    from crego_document_extractor_spark import corpus
+    from crego_document_extractor_spark.parse import parse_documents
+    from crego_document_extractor_spark.extract.crif import (
+        extract_all, extract_all_udf)
+    docs = spark.createDataFrame(
+        [(d["doc_id"], d["spans"]) for d in corpus.gen_documents(60, seed=11)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    cols = ["value_num", "value_bool", "value_str", "value_type",
+            "source", "confidence", "status", "similarity_score"]
+    a = extract_all(parse_documents(docs), engine="sql").alias("a")
+    b = extract_all_udf(parse_documents(docs)).alias("b")
+    j = a.join(b, ["doc_id", "param_id"], "full_outer")
+    agree = " AND ".join(f"a.{c} <=> b.{c}" for c in cols)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(~F.expr(agree), 1)).alias("n_mismatches"))
+
+
+def _a9b_expected_rows() -> int:
+    from crego_document_extractor_spark import corpus
+    n = 0
+    for d in corpus.gen_documents(60, seed=11):
+        if d["doc_id"].startswith("crif-"):
+            n += 15
+        elif d["doc_id"].startswith("gstr-"):
+            n += 2
+    return n
+
+
 def _q_token_stats(spark, sf):
     """Text analysis: whitespace token count + BPE-ish subword
     estimate (ops/textstats.py)."""
@@ -723,6 +804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_a5_active_loans_by_type_inline": _q_a5_active_loans_by_type_inline,
         "q_minhash_bands": _q_minhash_bands,
         "q_simhash": _q_simhash,
+        "q_dedup_minhash_e2e": _q_dedup_minhash_e2e,
+        "q_dedup_simhash_e2e": _q_dedup_simhash_e2e,
+        "q_a9b_engine_agreement": _q_a9b_engine_agreement,
         "q_s2_html_ingest": _q_s2_html_ingest,
         "q_s2_pdf_ingest": _q_s2_pdf_ingest,
         "q_f5_a6_summary_first_match": _q_f5_a6_summary_first_match,
@@ -1196,5 +1280,53 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(list_dot_product(b.v, b.v))) >= 0.4
         """,
         # q_minhash_bands / q_simhash / q_lsh_ann_recall: engine-specific
-        # hash functions — intentionally no oracle (rows-only check).
+        # hash functions — intentionally no oracle (rows-only raw
+        # operators; their oracle-checked COMPOSITIONS are below).
+        "q_dedup_minhash_e2e": _DEDUP_E2E_ORACLE,
+        "q_dedup_simhash_e2e": _DEDUP_E2E_ORACLE,
+        "q_a9b_engine_agreement": (
+            f"SELECT cast({_a9b_expected_rows()} AS bigint) AS n_rows, "
+            f"cast(0 AS bigint) AS n_mismatches"),
+        # the ingest fronts build deterministic payloads from integer
+        # templates, so the expected span profile is analytic
+        "q_s2_html_ingest": """
+            SELECT concat('html-', lpad(cast(i AS varchar), 6, '0')) AS doc_id,
+                   3 AS n_clean, 1 AS n_headings, 1 AS n_media
+            FROM range(50) t(i)
+        """,
+        "q_s2_pdf_ingest": _pdf_ingest_oracle(),
     }
+
+
+#: exhaustive truth for the dedup e2e compositions: every pair of the
+#: sampled slice with exact token-set Jaccard >= 0.8 (both the MinHash
+#: and the SimHash pipelines must land exactly here — recall proof)
+_DEDUP_E2E_ORACLE = """
+    WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         sizes AS (SELECT doc_id, len(toks) AS n FROM d),
+         pairs AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+           FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2, round(common / (s1.n + s2.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE common / (s1.n + s2.n - common) >= 0.8
+"""
+
+
+def _pdf_ingest_oracle() -> str:
+    """Analytic span profile of the _mini_pdf template: 3 text runs at
+    y 700/650/600 → three 12pt bands → 3 spans; chars = the literal
+    shown strings."""
+    rows = []
+    for i in range(40):
+        chars = (len(f"Document {i}")
+                 + len(f"Current Balance: {i * 7},{i % 900:03d}")
+                 + len(f"line three {i % 5}"))
+        rows.append(f"('crif-{i:06d}', 3, {chars})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") t(doc_id, n_spans, n_chars)")

@@ -40,6 +40,8 @@ def ensure_corpus() -> str:
 
 
 def main() -> None:
+    global LOAD0
+    LOAD0 = list(os.getloadavg())
     from crego_document_extractor_spark.session import get_spark
     from crego_document_extractor_spark import pipeline
     import __spark_entry__ as entrymod
@@ -61,14 +63,19 @@ def main() -> None:
     docs_df.count()
     pipeline.extract_parameters(parse_documents(docs_df.limit(64))).count()
 
+    all_runs: dict[str, list[float]] = {}
+
     def timed(name, fn):
         fn()  # warm
         best = float("inf")
+        walls = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
+            walls.append(round(time.perf_counter() - t0, 3))
+            best = min(best, walls[-1])
         timings[name] = round(best, 3)
+        all_runs[name] = walls
 
     n_extracted = {}
 
@@ -103,6 +110,14 @@ def main() -> None:
         "bench_docs": N_DOCS,
         "extraction_docs_per_sec": docs_per_sec,
         "parallelism": CPUS,
+        # shared-host diagnostics: this machine sees external tenant
+        # load (loadavg spikes with zero in-container CPU) that can
+        # inflate any wall time several-fold.  Per-run walls + the
+        # load average bracket make a polluted sample self-evident —
+        # see BENCH/BASELINE.md for the harness-reconciliation note.
+        "run_walls": all_runs,
+        "loadavg_start": LOAD0,
+        "loadavg_end": list(os.getloadavg()),
     }))
     spark.stop()
 

@@ -47,10 +47,22 @@ def parse_with_cache(docs: DataFrame, cache_dir: str) -> tuple[DataFrame, dict]:
         misses = keyed.join(cache_keys, "content_key", "left_anti")
         n_hits = keyed.join(cache_keys, "content_key", "left_semi").count()
 
-    # persist before counting so the expensive parse of the misses
-    # executes exactly once (count + append share the materialization)
-    fresh = (parse_documents(misses.select("doc_id", "spans"))
-             .join(keyed.select("doc_id", "content_key"), "doc_id"))
+    # The parse input carries the content_key INSIDE the doc_id
+    # ("<key>|<doc_id>") and recovers it from the parse output — a
+    # rejoin on bare doc_id would cross-pair parse outputs when a batch
+    # holds two rows sharing a doc_id with different span payloads
+    # (supported: the reference processes one request per document).
+    # One row per distinct payload is parsed; every requesting row is
+    # served from the content-keyed cache below either way.  The
+    # cache-row doc_id/doc_kind are restored for debuggability only —
+    # the serve path never reads them.
+    uniq = (misses.dropDuplicates(["content_key"])
+            .select(F.concat("content_key", F.lit("|"), "doc_id").alias("doc_id"),
+                    "spans"))
+    fresh = (parse_documents(uniq)
+             .withColumn("content_key", F.expr("substring_index(doc_id, '|', 1)"))
+             .withColumn("doc_id", F.expr("substring(doc_id, 66)")))
+    fresh = fresh.withColumn("doc_kind", F.expr(DOC_KIND_SQL))
     fresh.persist()
     n_misses = fresh.count()
     if n_misses:
@@ -99,13 +111,21 @@ def clear_cache(spark: SparkSession, cache_dir: str,
         return before
     # scale-safe selective clear: distributed temp-write of the kept
     # rows, then swap — never materialized on the driver (a 100 TB
-    # cache would OOM a collect; DELETE FROM on an Iceberg catalog)
+    # cache would OOM a collect; DELETE FROM on an Iceberg catalog).
+    # The overwrite of cache_dir is the single destructive step; the
+    # tmp directory is removed in a finally so a crash after the swap
+    # cannot leak it (a crash DURING the swap loses the cache — it is
+    # rebuildable by construction; Iceberg's atomic commit removes
+    # even that window at production scale).
     tmp_dir = cache_dir.rstrip("/") + "__clear_tmp"
-    kept = cached.where(F.col("doc_kind") != doc_kind)
-    kept.write.mode("overwrite").parquet(tmp_dir)
-    kept_back = spark.read.parquet(tmp_dir)
-    n_kept = kept_back.count()
-    kept_back.write.mode("overwrite").parquet(cache_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(tmp_dir)
-    jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        kept = cached.where(F.col("doc_kind") != doc_kind)
+        kept.write.mode("overwrite").parquet(tmp_dir)
+        kept_back = spark.read.parquet(tmp_dir)
+        n_kept = kept_back.count()
+        kept_back.write.mode("overwrite").parquet(cache_dir)
+    finally:
+        fs.delete(jpath, True)
     return before - n_kept

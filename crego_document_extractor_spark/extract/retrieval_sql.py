@@ -89,8 +89,11 @@ _UNITS = (
 #: 'Account Number:', parse each sub-block; only account_type validity
 #: + remarks are observable through the flag predicates.
 _BLOCKS = f"slice(split(u.fulltext, 'Account Number:'), 2, {X.SLICE_REST})"
+# the contains() pre-check skips the split+transform+regexp machinery
+# on the (majority of) chunks with no account blocks at all — an empty
+# slice and a skipped CASE produce the same empty candidate set
 _CA = (
-    "CASE WHEN u.ctype = 'text' THEN "
+    "CASE WHEN u.ctype = 'text' AND contains(u.fulltext, 'Account Number:') THEN "
     f"filter(transform({_BLOCKS}, blk -> named_struct("
     f"'account_type', {X.extract_field('blk', 'Account Type')}, "
     f"'remarks', {X.extract_field('blk', 'Account Remarks')})), "

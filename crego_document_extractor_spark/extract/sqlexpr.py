@@ -59,7 +59,10 @@ def payment_status(text: str, month: str) -> str:
 
 def dpd(status: str) -> str:
     """DPD grade decode (crif_models.py:11-32); '' → 0."""
-    sl = f"lower({strip_ws(status)})"
+    return _dpd_decode(f"lower({strip_ws(status)})")
+
+
+def _dpd_decode(sl: str) -> str:
     return (f"(CASE WHEN {sl} IN ('000','std','000/std') THEN 0 "
             f"WHEN {sl} = '030' THEN 30 "
             f"WHEN {sl} = '060' THEN 60 "
@@ -76,8 +79,16 @@ _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
 
 
 def worst_dpd(text: str) -> str:
-    """max DPD across matched months, 0 when none (crif_models.py:47-50)."""
-    return "greatest(" + ", ".join(dpd(payment_status(text, m)) for m in _MONTHS) + ")"
+    """max DPD across matched months, 0 when none (crif_models.py:47-50).
+
+    The per-month status comes from payment_status, whose capture group
+    is [A-Z0-9\\-/]+ — it can never carry whitespace, so the decode
+    skips the unicode-strip regexps (a provable no-op there; str.strip
+    on the reference side is likewise a no-op, crif_parser.py:193-204).
+    That saves 12 regexp_replace evaluations per account in the hot
+    path; parity is covered by the account-path oracle tests."""
+    return "greatest(" + ", ".join(
+        _dpd_decode(f"lower({payment_status(text, m)})") for m in _MONTHS) + ")"
 
 
 def account_fields(text: str) -> dict[str, str]:

@@ -375,12 +375,19 @@ def _pdf_tokens(content: bytes):
 def pdf_text_runs(data: bytes) -> list[dict]:
     """PDF bytes → [{page, x, y, text}] runs.  y is emitted FLIPPED
     (PDF user space grows upward; the banding in pdf_runs_to_spans
-    reads top-down), so ascending y is reading order."""
+    reads top-down), so ascending y is reading order.
+
+    Tracks the graphics transformation matrix (q/Q/cm) and maps text
+    positions through it — generators that place each block with a
+    ``cm`` translate (e.g. HTML-to-PDF tools) otherwise collapse every
+    run to y≈0 (observed on the reference's CRIF fixtures)."""
     runs: list[dict] = []
     for page_no, (content, fonts) in enumerate(_page_contents(data), start=1):
         stack: list = []
         x = y = 0.0
         leading = 12.0
+        ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # a b c d e f
+        gstack: list[list[float]] = []
         font: tuple[int, dict] | None = None
 
         def decode(parts: list[bytes]) -> str:
@@ -397,8 +404,11 @@ def pdf_text_runs(data: bytes) -> list[dict]:
         def emit(parts: list[bytes]) -> None:
             text = decode(parts)
             if text.strip():
-                runs.append({"page": page_no, "x": float(x),
-                             "y": float(-y), "text": text})
+                a, b, c, d, e, f = ctm
+                xd = a * x + c * y + e
+                yd = b * x + d * y + f
+                runs.append({"page": page_no, "x": float(xd),
+                             "y": float(-yd), "text": text})
 
         for kind, val in _pdf_tokens(content):
             if kind != "op":
@@ -410,6 +420,17 @@ def pdf_text_runs(data: bytes) -> list[dict]:
             names = [v for k, v in stack if k == "name"]
             if op == "BT":
                 x = y = 0.0
+            elif op == "q":
+                gstack.append(list(ctm))
+            elif op == "Q":
+                if gstack:
+                    ctm = gstack.pop()
+            elif op == "cm" and len(nums) >= 6:
+                a1, b1, c1, d1, e1, f1 = nums[-6:]
+                a2, b2, c2, d2, e2, f2 = ctm
+                ctm = [a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+                       c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+                       e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2]
             elif op == "Tf" and names:
                 font = fonts.get(names[-1])
             elif op in ("Td", "TD") and len(nums) >= 2:
@@ -450,12 +471,18 @@ def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def ingest_pdf(raw: DataFrame, band_height: float = 12.0) -> DataFrame:
+def ingest_pdf(raw: DataFrame, band_height: float = 12.0,
+               tables: bool = True) -> DataFrame:
     """raw(doc_id string, payload binary) → documents(doc_id, spans):
     byte-level text extraction (Arrow-batched) + the relational y-band
-    reading-order merge below — the S1→S2 loop on real PDF bytes."""
+    reading-order merge — the S1→S2 loop on real PDF bytes.  With
+    ``tables`` (default) x-position column banding additionally
+    reconstructs table spans (pdf_runs_to_documents), which is what
+    lets the GSTR/CRIF signature extractors run on real fixture PDFs."""
     runs = raw.select("doc_id", "payload").mapInPandas(
         _pdf_batches, schema=_RUNS_SCHEMA)
+    if tables:
+        return pdf_runs_to_documents(runs, band_height=band_height)
     return pdf_runs_to_spans(runs, band_height=band_height)
 
 
@@ -483,5 +510,108 @@ def pdf_runs_to_spans(runs: DataFrame, band_height: float = 12.0) -> DataFrame:
                 "'pos', pos, 'page', page, 'line_text', line_text))), "
                 "(r, i) -> named_struct("
                 "'kind', 'text', 'text', r.line_text, "
+                "'media_ref', concat('page:', cast(r.page AS string)), "
+                "'offset', i))").alias("spans")))
+
+
+# ---------------------------------------------------------------------------
+# PDF text runs → spans WITH table reconstruction (pure relational)
+# ---------------------------------------------------------------------------
+#
+# The reference obtains table structure from Docling (parser.py:90-106);
+# this is the from-scratch equivalent over raw (x, y) runs:
+#
+#   y-band lines → per-line CELLS (x-gap split; a run's end is
+#   estimated as x + len(text)·char_width since PDF run widths are not
+#   carried) → ≥2-cell lines, 1-line gap closing (wrapped row labels)
+#   → ≥min_table_lines consecutive = a table block → block line 0 is
+#   the column header; later lines map cells into column slots by x →
+#   one 'table' span per block carrying the serialized grid
+#   (FIXTURES.md §1) that semantics.parse_table / the SQL signature
+#   extractors consume.  Everything else stays a 'text' line span.
+#
+# Validated against the reference's own GSTR-3B fixtures: all six
+# reconstruct the Table-3.1 strong signature (integrated & central &
+# taxable columns) and yield the golden month + taxable value
+# (tests/test_reference_parity.py).
+
+_CELL_TYPE = "array<struct<x:double,e:double,t:string>>"
+_NORM = "regexp_replace(trim({0}), '\\\\s+', ' ')"
+
+
+def _cells_expr(char_width: float, cell_gap: float) -> str:
+    new_cell = (f"named_struct('x', r.x, 'e', r.x + length(r.t) * {char_width}d, "
+                "'t', r.t)")
+    merged = ("named_struct('x', element_at(acc, -1).x, "
+              f"'e', greatest(element_at(acc, -1).e, r.x + length(r.t) * {char_width}d), "
+              "'t', concat(element_at(acc, -1).t, ' ', r.t))")
+    return (f"aggregate(rs, cast(array() AS {_CELL_TYPE}), (acc, r) -> "
+            f"CASE WHEN size(acc) > 0 AND r.x - element_at(acc, -1).e <= {cell_gap}d "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array({merged})) "
+            f"ELSE concat(acc, array({new_cell})) END)")
+
+
+def pdf_runs_to_documents(runs: DataFrame, band_height: float = 12.0,
+                          char_width: float = 5.0, cell_gap: float = 10.0,
+                          min_table_lines: int = 3) -> DataFrame:
+    """runs(doc_id, page, x, y, text) → documents(doc_id, spans) with
+    'text' line spans AND reconstructed 'table' spans (see module
+    comment above).  Narrow until the per-document assembly groupBy —
+    the same shuffle shape as pdf_runs_to_spans."""
+    from pyspark.sql.window import Window as W
+
+    banded = runs.withColumn(
+        "band", F.floor(F.col("y") / F.lit(band_height)).cast("int"))
+    lines = (banded.groupBy("doc_id", "page", "band")
+             .agg(F.expr("array_sort(collect_list(named_struct('x', x, 't', text)))")
+                  .alias("rs")))
+    lines = (lines.withColumn("cells", F.expr(_cells_expr(char_width, cell_gap)))
+             .drop("rs")
+             .withColumn("is_tab", F.expr("size(cells) >= 2")))
+    w = W.partitionBy("doc_id", "page").orderBy("band")
+    lines = lines.withColumn(
+        "tabish",
+        F.col("is_tab") |
+        (F.coalesce(F.lag("is_tab").over(w), F.lit(False)) &
+         F.coalesce(F.lead("is_tab").over(w), F.lit(False))))
+    lines = lines.withColumn(
+        "block", F.sum(F.when(~F.col("tabish"), 1).otherwise(0)).over(w))
+
+    grp = (lines.where("tabish")
+           .groupBy("doc_id", "page", "block")
+           .agg(F.expr("array_sort(collect_list(named_struct("
+                       "'band', band, 'cells', cells)))").alias("tl"),
+                F.count(F.when(F.col("is_tab"), 1)).alias("n_tab"),
+                F.min("band").alias("band")))
+    grp = (grp.where(F.col("n_tab") >= min_table_lines)
+           .withColumn("cx", F.expr("transform(element_at(tl, 1).cells, c -> c.x)")))
+    cols_e = ("transform(element_at(tl, 1).cells, c -> "
+              + _NORM.format("c.t") + ")")
+    slot = "greatest(size(filter(cx, v -> v <= c.x + 2.0d)) - 1, 0)"
+    row_e = ("transform(sequence(0, size(cx) - 1), j -> "
+             + _NORM.format("array_join(transform(filter(ln.cells, c -> "
+                            + slot + " = j), c -> c.t), ' ')") + ")")
+    raw = (f"concat_ws('\\n', array_join({cols_e}, ' | '), "
+           f"array_join(transform(slice(tl, 2, 1000000000), "
+           f"ln -> array_join({row_e}, ' | ')), '\\n'))")
+    tab_spans = grp.select(
+        "doc_id", "page", "band", F.lit("table").alias("kind"),
+        F.expr(raw).alias("text"))
+
+    swallowed = grp.select("doc_id", "page", "block",
+                           F.lit(True).alias("swallow"))
+    txt_spans = (lines.join(swallowed, ["doc_id", "page", "block"], "left")
+                 .where(~(F.col("tabish") & F.coalesce("swallow", F.lit(False))))
+                 .select("doc_id", "page", "band", F.lit("text").alias("kind"),
+                         F.expr(_NORM.format(
+                             "array_join(transform(cells, c -> c.t), ' ')"))
+                         .alias("text")))
+    allspans = tab_spans.unionByName(txt_spans).where("text != ''")
+    return (allspans.groupBy("doc_id")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'page', page, 'band', band, 'kind', kind, 'text', text))), "
+                "(r, i) -> named_struct("
+                "'kind', r.kind, 'text', r.text, "
                 "'media_ref', concat('page:', cast(r.page AS string)), "
                 "'offset', i))").alias("spans")))

@@ -98,26 +98,53 @@ def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
-                            prefix_bits: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the low `prefix_bits` (the
-    LSH trick that avoids the full cross join), verify Hamming
-    distance JVM-side."""
-    s = simhash(df).withColumn(
-        "block", F.expr(f"simhash & {(1 << prefix_bits) - 1}"))
-    a, b = s.alias("a"), s.alias("b")
-    return (a.join(b, (F.col("a.block") == F.col("b.block")) &
+                            bits: int = 32,
+                            n_bands: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash: band the hash into `n_bands` disjoint
+    bit-chunks and bucket-join on (band, chunk) — the pigeonhole
+    guarantee: two hashes within Hamming distance h < n_bands must
+    agree EXACTLY on at least one chunk, so recall is 1.0 for
+    h <= n_bands - 1 (default n_bands = max_hamming + 1) while the
+    join only compares same-chunk docs (O(n²/2^chunk_bits) per band
+    instead of the full cross join).  Exact Hamming verify JVM-side."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    chunk = max(1, bits // n_bands)
+    s = simhash(df, bits=bits)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(f"(simhash >> {t * chunk}) & {(1 << chunk) - 1}")
+            for t in range(n_bands)])).alias("band", "block"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.block") == F.col("b.block")) &
                       (F.col("a.doc_id") < F.col("b.doc_id")))
-            .withColumn("hamming",
-                        F.expr("bit_count(a.simhash ^ b.simhash)"))
-            .where(F.col("hamming") <= max_hamming)
             .select(F.col("a.doc_id").alias("d1"),
-                    F.col("b.doc_id").alias("d2"), "hamming"))
+                    F.col("b.doc_id").alias("d2"),
+                    F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
-                        same_key: str | None = None) -> DataFrame:
+                        same_key: str | None = None,
+                        candidates: DataFrame | None = None) -> DataFrame:
     """Exact token-set Jaccard via explode + self-join (verification
-    stage after LSH candidate generation)."""
+    stage after LSH candidate generation).
+
+    Pass ``candidates`` (d1, d2) — e.g. the MinHash/SimHash candidate
+    pairs — to verify ONLY those: the token self-join is restricted to
+    candidate members and the result is semi-joined back to the pairs.
+    Without it the all-pairs shared-token join is quadratic in the
+    count of docs sharing one hot token — fine for a sampled slice,
+    a skew bomb at corpus scale (always compose with an LSH stage
+    there)."""
+    if candidates is not None:
+        members = (candidates.select(F.col("d1").alias("doc_id"))
+                   .unionByName(candidates.select(F.col("d2").alias("doc_id")))
+                   .distinct())
+        df = df.join(members, "doc_id", "left_semi")
     d = df.select("doc_id",
                   *( [same_key] if same_key else [] ),
                   F.array_distinct(F.split("text", " ")).alias("toks"))
@@ -131,6 +158,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
              .groupBy(F.col("a.doc_id").alias("d1"),
                       F.col("b.doc_id").alias("d2"))
              .agg(F.count("*").alias("common")))
+    if candidates is not None:
+        pairs = pairs.join(candidates.select("d1", "d2"), ["d1", "d2"],
+                           "left_semi")
     return (pairs
             .join(sizes.withColumnRenamed("doc_id", "d1")
                   .withColumnRenamed("n", "n1"), "d1")

@@ -55,12 +55,18 @@ def salted_topk_tokens(docs: DataFrame, k: int = 20,
     """Corpus-level token frequency top-k over exploded span text with
     salting on the token key (hot tokens are the skewed keys here):
     groupBy(token, salt) partial counts → groupBy(token) final → top-k."""
-    toks = (docs.select(F.explode("spans").alias("s"))
+    toks = (docs.select("doc_id", F.posexplode("spans").alias("sp", "s"))
             .where("s.kind IN ('text', 'heading')")
-            .select(F.explode(F.split("s.text", "\\s+")).alias("tok"))
+            .select("doc_id", "sp",
+                    F.posexplode(F.split("s.text", "\\s+")).alias("tp", "tok"))
             .where("tok != ''"))
+    # deterministic per-occurrence salt: hash of the occurrence's
+    # stable coordinates (doc, span pos, token pos) — unlike a
+    # monotonically_increasing_id-derived salt it is identical across
+    # retries/partitionings, so a recomputed map task re-produces the
+    # same partial groups
     salted = toks.withColumn(
-        "salt", F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id())), F.lit(n_salts)))
+        "salt", F.pmod(F.abs(F.xxhash64("doc_id", "sp", "tp")), F.lit(n_salts)))
     partial = salted.groupBy("tok", "salt").agg(F.count("*").alias("pc"))
     final = partial.groupBy("tok").agg(F.sum("pc").alias("n"))
     return final.orderBy(F.desc("n"), F.asc("tok")).limit(k)

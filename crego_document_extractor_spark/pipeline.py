@@ -53,7 +53,9 @@ def extract_parameters(parsed: DataFrame, mode: str = "embedding") -> DataFrame:
     re-run it per branch).  mode='legacy' is the direct-parsing path
     (crif_legacy.py)."""
     if mode == "embedding":
-        return extract_all(parsed)
+        import os
+        return extract_all(parsed,
+                           engine=os.environ.get("SPARK_GRAFT_ENGINE", "sql"))
     return extract_crif_legacy(parsed).unionByName(extract_gstr(parsed))
 
 

@@ -12,6 +12,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_mem() -> str:
+    """min(32g, half of physical RAM), floor 2g."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(f.readline().split()[1])
+        return f"{max(2, min(32, kb // (2 * 1024 * 1024)))}g"
+    except Exception:
+        return "8g"
+
+
 def get_spark(app_name: str = "crego-document-extractor-spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -38,8 +48,11 @@ def get_spark(app_name: str = "crego-document-extractor-spark",
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver JVM heap IS the whole executor pool —
         # at 32 threads an 8g heap turns allocation into the scaling
-        # ceiling (measured: 32-core wall -27% going 8g → 32g)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # ceiling (measured: 32-core wall -27% going 8g → 32g); capped
+        # at half the physical RAM so the library default can't drive
+        # a small host into swap
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_mem()))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

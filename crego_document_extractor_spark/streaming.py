@@ -73,27 +73,36 @@ DEDUP_OUT_SCHEMA = "doc_id string, content_key string, bucket int"
 
 
 def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
-                 checkpoint_dir: str, buckets: int = 64):
+                 checkpoint_dir: str, buckets: int = 64,
+                 max_state_per_bucket: int | None = 100_000):
     """Streaming incremental exact-dedup — the custom STATEFUL operator
     (applyInPandasWithState): only the first occurrence of each content
     hash across ALL micro-batches is emitted; the seen-set lives in
     checkpointed group state keyed by a hash bucket, so a restarted
     stream continues suppressing duplicates it saw before the restart.
 
-    At corpus scale the per-group state is the bucket's hash set —
-    bounded by corpus cardinality / `buckets`; production would layer
-    a TTL (GroupStateTimeout) or an RJB bloom filter per bucket, which
-    changes only the state payload, not the plumbing."""
+    State is BOUNDED: each bucket keeps at most `max_state_per_bucket`
+    hashes in insertion order and evicts the oldest beyond that — a
+    dedup horizon of `buckets * max_state_per_bucket` most-recent
+    distinct documents.  A duplicate of a document older than the
+    horizon is re-emitted (at-least-once outside the horizon, exact
+    inside it) — the standard unbounded-stream trade; pass ``None``
+    for the exact unbounded set when the key space is known small."""
     import pandas as pd  # noqa: F811 (worker-side import)
 
     def dedup_fn(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
+        order = list(state.get[0]) if state.exists else []
+        seen = set(order)
         out = []
         for pdf in pdfs:
             fresh = ~pdf["content_key"].isin(seen)
             out.append(pdf[fresh].drop_duplicates("content_key"))
-            seen.update(out[-1]["content_key"])
-        state.update((list(seen),))
+            new = [h for h in out[-1]["content_key"] if h not in seen]
+            order += new
+            seen.update(new)
+        if max_state_per_bucket is not None and len(order) > max_state_per_bucket:
+            order = order[-max_state_per_bucket:]
+        state.update((order,))
         yield pd.concat(out) if out else pd.DataFrame(
             {"doc_id": [], "content_key": [], "bucket": []})
 

@@ -80,6 +80,33 @@ def test_lsh_topk_recall(spark):
     assert 50 in neighbors  # the planted near-dup must be found
 
 
+def test_lsh_topk_recall_gate_clustered(spark):
+    """Recall@10 >= 0.7 on CLUSTERED embeddings — the data shape LSH is
+    designed for (the near-random driver embeddings are its worst
+    case; q_lsh_ann_recall documents that).  8 centers, 25 points per
+    cluster with sigma=0.15, 5 query points: true neighbors live in
+    the same cluster, so signed-random-projection buckets keep them
+    together."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64) * 3.0
+    pts = np.vstack([c + rng.randn(25, 64) * 0.15 for c in centers])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in pts[i]])
+         for i in range(len(pts))])
+    q = df.where("vec_id IN (0, 25, 50, 75, 100)")
+    exact = similarity.brute_force_topk(df, q, k=10)
+    approx = similarity.lsh_topk(df, q, k=10, bits=6, n_tables=8)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["cand_id"])
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [len(truth[k] & got.get(k, set())) / 10.0 for k in truth]
+    assert min(recalls) >= 0.7, recalls
+
+
 def test_textstats_profile(spark):
     df = spark.createDataFrame(
         [("d1", "the quick brown fox and the lazy dog went to the market"),

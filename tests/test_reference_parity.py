@@ -1,0 +1,90 @@
+"""End-to-end parity against the reference's OWN fixture + golden
+output: real GSTR-3B PDF bytes → from-scratch byte extraction →
+x/y-position table reconstruction → the GSTR extraction path →
+compared with /root/reference/extraction_output.json (gst_sales
+951381.0, month 'January 2024' — reference gstr.py:39-137,
+tests/test_accuracy.py:56-61).
+
+The reference parses PDFs with Docling (parser.py:60-138); this engine
+re-derives the same observable values from raw bytes (ingest.py): Flate
+streams → BT/ET text runs → y-band lines → x-gap cell split → column
+banding → the serialized table grid the signature extractors consume.
+"""
+
+import json
+import os
+
+import pytest
+
+FIXDIR = "/root/reference/GSTR-3B_GST_Return"
+GOLDEN = "/root/reference/extraction_output.json"
+JAN = os.path.join(FIXDIR, "GSTR3B_06AAICK4577H1Z8_012025.pdf")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(JAN), reason="reference fixtures not present")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.load(open(GOLDEN))["gst_sales"][0]
+
+
+@pytest.fixture(scope="module")
+def gstr_results(spark):
+    from crego_document_extractor_spark import ingest, pipeline
+
+    raw = spark.createDataFrame(
+        [("gstr-fixture-012025", bytearray(open(JAN, "rb").read()))],
+        "doc_id string, payload binary")
+    docs = ingest.ingest_pdf(raw)
+    _, results = pipeline.run(docs, repartition=False)
+    return {r["param_id"]: r.asDict() for r in results.collect()}
+
+
+def test_fixture_table_31_reconstructed(spark):
+    """The 3.1 signature table must be rebuilt from raw runs: strong
+    column signature (integrated & central & taxable) on a real page."""
+    from crego_document_extractor_spark import ingest
+    from crego_document_extractor_spark.parse import parse_documents
+
+    raw = spark.createDataFrame(
+        [("gstr-fixture-012025", bytearray(open(JAN, "rb").read()))],
+        "doc_id string, payload binary")
+    parsed = parse_documents(ingest.ingest_pdf(raw)).collect()[0]
+    sig = [t for t in parsed["tables"]
+           if any("integrated" in c.lower() for c in t["columns"])
+           and any("central" in c.lower() for c in t["columns"])
+           and any("taxable" in c.lower() for c in t["columns"])]
+    assert sig, "3.1 table not reconstructed"
+    assert sig[0]["page"] == 1
+
+
+def test_fixture_month_parity(gstr_results, golden):
+    assert gstr_results["gst_month"]["value_str"] == golden["month"]
+
+
+def test_fixture_sales_parity(gstr_results, golden):
+    row = gstr_results["gst_sales"]
+    assert row["value_num"] == golden["sales"]
+    assert row["source"] == golden["source"]
+    assert row["confidence"] == golden["confidence"]
+    assert row["status"] == golden["status"]
+
+
+def test_all_six_fixture_months_extract(spark):
+    """Every shipped GSTR fixture yields a non-Unknown month and a
+    non-null sales value through the full pipeline."""
+    from crego_document_extractor_spark import ingest, pipeline
+
+    rows = [(f"gstr-fix-{os.path.basename(p)[-11:-4]}",
+             bytearray(open(os.path.join(FIXDIR, p), "rb").read()))
+            for p in sorted(os.listdir(FIXDIR)) if p.endswith(".pdf")]
+    raw = spark.createDataFrame(rows, "doc_id string, payload binary")
+    _, results = pipeline.run(ingest.ingest_pdf(raw), repartition=False)
+    got = {(r["doc_id"], r["param_id"]): r for r in results.collect()}
+    docs = {d for d, _ in got}
+    assert len(docs) == 6
+    for d in docs:
+        assert got[(d, "gst_month")]["value_str"] != "Unknown Month", d
+        assert got[(d, "gst_sales")]["value_num"] is not None, d
+        assert got[(d, "gst_sales")]["status"] == "extracted", d
