@@ -89,8 +89,16 @@ def main() -> None:
         n_extracted["spans"] = pipeline.clean_spans(
             parse_documents(docs_df)).count()
 
+    def flagship_relational():
+        from crego_document_extractor_spark.extract.crif import extract_all
+        extract_all(parse_documents(docs_df), engine="sql").count()
+
     timed("flagship_extraction", flagship)
     timed("clean_spans_pass", spans_pass)
+    # the pure-JVM relational engine, timed alongside (informational —
+    # not part of the headline total; see BENCH/BASELINE.md engine A/B)
+    timed("x_relational_engine_info", flagship_relational)
+    relational_sec = timings.pop("x_relational_engine_info")
 
     qs = entrymod.queries()
     for name in ("q_j1_broadcast_dim_join", "q_t1_topk_per_group",
@@ -109,6 +117,7 @@ def main() -> None:
         "sf": _SF,
         "bench_docs": N_DOCS,
         "extraction_docs_per_sec": docs_per_sec,
+        "relational_engine_sec": relational_sec,
         "parallelism": CPUS,
         # shared-host diagnostics: this machine sees external tenant
         # load (loadavg spikes with zero in-container CPU) that can

@@ -53,6 +53,12 @@ def get_spark(app_name: str = "crego-document-extractor-spark",
         # a small host into swap
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_mem()))
+        # throughput GC: the explode+aggregate extraction plan allocates
+        # heavily (UTF8String/regexp churn); ParallelGC measured ~30%
+        # less CPU and half the GC time vs default G1 at local[32]
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                               "-XX:+UseParallelGC"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -152,8 +152,13 @@ table above is the current measurement.
 
 Caveat: this host is shared; external tenant load (loadavg spikes with
 zero in-container CPU) was observed during some windows.  Each level
-runs twice interleaved and the minimum is kept, which bounds but does
-not eliminate that noise.
+runs twice interleaved and the minimum is kept, and children can be
+gated on a quiet 1-min load average (SPARK_GRAFT_QUIET_THRESH), which
+bounds but does not eliminate that noise.  Per-child walls + loadavg
+are printed so polluted samples are self-evident; BENCH/BASELINE.md
+may therefore carry best-per-level minimums combined across campaigns
+(this file's table is the latest single run).  The retrieval-engine
+A/B lives in BENCH/ENGINE_AB.md.
 
 Reference baseline (BASELINE.md): ~0.6 documents/s single-threaded
 (README.md:300-302).  This engine: **{best_thr:,.0f} docs/s**

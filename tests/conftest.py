@@ -51,14 +51,21 @@ def expected_rows(expected):
     return out
 
 
-@pytest.fixture(scope="session")
-def pipeline_outputs(spark, docs_path):
+@pytest.fixture(scope="session", params=["udf", "sql"])
+def pipeline_outputs(spark, docs_path, request):
+    """Runs the full pipeline under BOTH retrieval engines — the
+    Arrow-UDF default and the pure-JVM relational plan — so every
+    downstream parity test asserts oracle equality for each."""
     from crego_document_extractor_spark import pipeline
 
-    docs_df = pipeline.load_documents(spark, docs_path)
-    spans_df, results_df = pipeline.run(docs_df)
-    spans = {r["doc_id"]: [s.asDict() for s in r["clean_spans"]]
-             for r in spans_df.collect()}
-    rows = {(r["doc_id"], r["param_id"]): r.asDict()
-            for r in results_df.collect()}
+    os.environ["SPARK_GRAFT_ENGINE"] = request.param
+    try:
+        docs_df = pipeline.load_documents(spark, docs_path)
+        spans_df, results_df = pipeline.run(docs_df)
+        spans = {r["doc_id"]: [s.asDict() for s in r["clean_spans"]]
+                 for r in spans_df.collect()}
+        rows = {(r["doc_id"], r["param_id"]): r.asDict()
+                for r in results_df.collect()}
+    finally:
+        os.environ.pop("SPARK_GRAFT_ENGINE", None)
     return spans, rows

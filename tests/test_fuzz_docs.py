@@ -69,9 +69,16 @@ def test_fuzzed_documents_match_oracle(spark, docs_spec):
         [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"])
                         for s in d["spans"]]) for d in docs],
         schema=DOCUMENTS_SCHEMA)
-    spans_df, results_df = pipeline.run(df, repartition=False)
-
-    exp = {d["doc_id"]: oracle.extract_document(d) for d in docs}
+    # fuzz the RELATIONAL engine — it is the independent SQL
+    # implementation; the UDF engine is covered by the parametrized
+    # conftest fixture and the A9b agreement query
+    import os
+    os.environ["SPARK_GRAFT_ENGINE"] = "sql"
+    try:
+        spans_df, results_df = pipeline.run(df, repartition=False)
+        exp = {d["doc_id"]: oracle.extract_document(d) for d in docs}
+    finally:
+        os.environ.pop("SPARK_GRAFT_ENGINE", None)
 
     got_spans = {r["doc_id"]: [s.asDict() for s in r["clean_spans"]]
                  for r in spans_df.collect()}

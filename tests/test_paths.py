@@ -40,14 +40,24 @@ DOC_FLAG_CHUNK = _doc("crif-900002", [
 
 
 def _run(spark, docs):
+    import os
     df = spark.createDataFrame([(d["doc_id"], [tuple(s.values()) for s in
                                                [{"kind": x["kind"], "text": x["text"],
                                                  "media_ref": x["media_ref"],
                                                  "offset": x["offset"]}
                                                 for x in d["spans"]]])
                                 for d in docs], schema=DOCUMENTS_SCHEMA)
-    _, results = pipeline.run(df, repartition=False)
-    return {(r["doc_id"], r["param_id"]): r.asDict() for r in results.collect()}
+    # pin the RELATIONAL engine: these path tests target the
+    # independent SQL implementations (the UDF engine shares the
+    # oracle's python semantics by construction and is covered by the
+    # engine-parametrized conftest fixture)
+    os.environ["SPARK_GRAFT_ENGINE"] = "sql"
+    try:
+        _, results = pipeline.run(df, repartition=False)
+        return {(r["doc_id"], r["param_id"]): r.asDict()
+                for r in results.collect()}
+    finally:
+        os.environ.pop("SPARK_GRAFT_ENGINE", None)
 
 
 def _expected(docs):
