@@ -482,7 +482,8 @@ def ingest_pdf(raw: DataFrame, band_height: float = 12.0,
     runs = raw.select("doc_id", "payload").mapInPandas(
         _pdf_batches, schema=_RUNS_SCHEMA)
     if tables:
-        return pdf_runs_to_documents(runs, band_height=band_height)
+        # gap-clustered lines + anchor-aware cells (the defaults)
+        return pdf_runs_to_documents(runs)
     return pdf_runs_to_spans(runs, band_height=band_height)
 
 
@@ -538,35 +539,72 @@ def pdf_runs_to_spans(runs: DataFrame, band_height: float = 12.0) -> DataFrame:
 _CELL_TYPE = "array<struct<x:double,e:double,t:string>>"
 _NORM = "regexp_replace(trim({0}), '\\\\s+', ' ')"
 
+#: phase-2 per-block column anchors: x-starts (rounded to 0.1) shared
+#: by >= 3 distinct lines WITHIN the table block — left-aligned table
+#: columns.  Scoped per block, not per page: repeated section headers
+#: ("Nature of Supplies" across GSTR tables) would otherwise turn
+#: mid-phrase word positions into page-wide anchors and shred headers.
+_BLOCK_ANCHORS = (
+    "filter(array_distinct(transform(flatten(transform(tl, ln -> ln.rs)), "
+    "r -> round(r.x, 1))), v -> "
+    "size(filter(tl, ln -> exists(ln.rs, r -> round(r.x, 1) = v))) >= 3)"
+)
 
-def _cells_expr(char_width: float, cell_gap: float) -> str:
+
+def _cells_fold(runs_expr: str, char_width: float, cell_gap: float,
+                anchors: str | None = None) -> str:
+    """Fold sorted (x, t) runs into cells: split when the gap from the
+    previous cell's ESTIMATED end (x + len·char_width — PDF runs carry
+    no width) exceeds ``cell_gap``, or (phase 2) when the run starts at
+    a block column anchor — width estimates are too crude to see the
+    ~5pt gap between a long description cell and the next column."""
+    brk = (f"array_contains({anchors}, round(r.x, 1)) OR " if anchors else "")
     new_cell = (f"named_struct('x', r.x, 'e', r.x + length(r.t) * {char_width}d, "
                 "'t', r.t)")
     merged = ("named_struct('x', element_at(acc, -1).x, "
               f"'e', greatest(element_at(acc, -1).e, r.x + length(r.t) * {char_width}d), "
               "'t', concat(element_at(acc, -1).t, ' ', r.t))")
-    return (f"aggregate(rs, cast(array() AS {_CELL_TYPE}), (acc, r) -> "
-            f"CASE WHEN size(acc) > 0 AND r.x - element_at(acc, -1).e <= {cell_gap}d "
+    return (f"aggregate({runs_expr}, cast(array() AS {_CELL_TYPE}), (acc, r) -> "
+            f"CASE WHEN size(acc) > 0 AND NOT ({brk}false) "
+            f"AND r.x - element_at(acc, -1).e <= {cell_gap}d "
             f"THEN concat(slice(acc, 1, size(acc) - 1), array({merged})) "
             f"ELSE concat(acc, array({new_cell})) END)")
 
 
-def pdf_runs_to_documents(runs: DataFrame, band_height: float = 12.0,
+def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
                           char_width: float = 5.0, cell_gap: float = 10.0,
-                          min_table_lines: int = 3) -> DataFrame:
+                          min_table_lines: int = 3,
+                          band_height: float | None = None) -> DataFrame:
     """runs(doc_id, page, x, y, text) → documents(doc_id, spans) with
     'text' line spans AND reconstructed 'table' spans (see module
     comment above).  Narrow until the per-document assembly groupBy —
-    the same shuffle shape as pdf_runs_to_spans."""
+    the same shuffle shape as pdf_runs_to_spans.
+
+    Lines are GAP-CLUSTERED on y (a new line starts where the y-gap
+    exceeds ``band_gap``) — fixed-height banding merges the ~3pt line
+    spacing of dense reports (the reference's CRIF fixtures) into
+    mangled rows; pass ``band_height`` to use fixed banding instead.
+    Cells are computed twice: a width-heuristic phase detects table
+    blocks, then in-block column anchors re-split each block line
+    (validated: the CRIF fixture's Verification table then yields the
+    ground-truth bureau score 627)."""
     from pyspark.sql.window import Window as W
 
-    banded = runs.withColumn(
-        "band", F.floor(F.col("y") / F.lit(band_height)).cast("int"))
+    if band_height is not None:
+        banded = runs.withColumn(
+            "band", F.floor(F.col("y") / F.lit(band_height)).cast("int"))
+    else:
+        w0 = W.partitionBy("doc_id", "page").orderBy("y")
+        banded = (runs.withColumn("_gap", F.col("y") - F.lag("y").over(w0))
+                  .withColumn("band", F.sum(
+                      F.when(F.col("_gap") > band_gap, 1).otherwise(0))
+                      .over(w0))
+                  .drop("_gap"))
     lines = (banded.groupBy("doc_id", "page", "band")
              .agg(F.expr("array_sort(collect_list(named_struct('x', x, 't', text)))")
                   .alias("rs")))
-    lines = (lines.withColumn("cells", F.expr(_cells_expr(char_width, cell_gap)))
-             .drop("rs")
+    lines = (lines.withColumn(
+                 "cells", F.expr(_cells_fold("rs", char_width, cell_gap)))
              .withColumn("is_tab", F.expr("size(cells) >= 2")))
     w = W.partitionBy("doc_id", "page").orderBy("band")
     lines = lines.withColumn(
@@ -580,17 +618,21 @@ def pdf_runs_to_documents(runs: DataFrame, band_height: float = 12.0,
     grp = (lines.where("tabish")
            .groupBy("doc_id", "page", "block")
            .agg(F.expr("array_sort(collect_list(named_struct("
-                       "'band', band, 'cells', cells)))").alias("tl"),
+                       "'band', band, 'rs', rs)))").alias("tl"),
                 F.count(F.when(F.col("is_tab"), 1)).alias("n_tab"),
                 F.min("band").alias("band")))
     grp = (grp.where(F.col("n_tab") >= min_table_lines)
-           .withColumn("cx", F.expr("transform(element_at(tl, 1).cells, c -> c.x)")))
-    cols_e = ("transform(element_at(tl, 1).cells, c -> "
-              + _NORM.format("c.t") + ")")
+           .withColumn("ax", F.expr(_BLOCK_ANCHORS)))
+    # phase-2 cells with in-block anchors; header = first line
+    hdr = _cells_fold("element_at(tl, 1).rs", char_width, cell_gap, "ax")
+    grp = (grp.withColumn("hdr", F.expr(hdr))
+           .withColumn("cx", F.expr("transform(hdr, c -> c.x)")))
+    cols_e = "transform(hdr, c -> " + _NORM.format("c.t") + ")"
+    ln_cells = _cells_fold("ln.rs", char_width, cell_gap, "ax")
     slot = "greatest(size(filter(cx, v -> v <= c.x + 2.0d)) - 1, 0)"
     row_e = ("transform(sequence(0, size(cx) - 1), j -> "
-             + _NORM.format("array_join(transform(filter(ln.cells, c -> "
-                            + slot + " = j), c -> c.t), ' ')") + ")")
+             + _NORM.format("array_join(transform(filter(" + ln_cells
+             + ", c -> " + slot + " = j), c -> c.t), ' ')") + ")")
     raw = (f"concat_ws('\\n', array_join({cols_e}, ' | '), "
            f"array_join(transform(slice(tl, 2, 1000000000), "
            f"ln -> array_join({row_e}, ' | ')), '\\n'))")
@@ -615,3 +657,5 @@ def pdf_runs_to_documents(runs: DataFrame, band_height: float = 12.0,
                 "'kind', r.kind, 'text', r.text, "
                 "'media_ref', concat('page:', cast(r.page AS string)), "
                 "'offset', i))").alias("spans")))
+
+

@@ -71,6 +71,46 @@ def test_fixture_sales_parity(gstr_results, golden):
     assert row["status"] == golden["status"]
 
 
+CRIFDIR = "/root/reference/CRIF_Bureau_Report"
+
+
+@pytest.mark.skipif(not os.path.exists(CRIFDIR),
+                    reason="reference fixtures not present")
+def test_crif_fixture_bureau_score_ground_truth(spark):
+    """Real CRIF bureau-report PDF → gap-clustered lines + in-block
+    column anchors → the Verification table signature → the reference's
+    ground-truth bureau score 627 (reference tests/test_accuracy.py:40,
+    GROUND_TRUTH_CRIF for JEET ARORA_PARK251217CR671901414.pdf) and
+    credit inquiries 0.  (The Account Summary totals are not yet
+    signature-matched from this fixture — docs/PLAN_NEXT.md #1.)"""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from crego_document_extractor_spark import ingest
+    from crego_document_extractor_spark.extract import sqlexpr as X
+    from crego_document_extractor_spark.parse import parse_documents
+
+    p = glob.glob(os.path.join(CRIFDIR, "JEET*"))[0]
+    raw = spark.createDataFrame(
+        [("crif-fixture-jeet", bytearray(open(p, "rb").read()))],
+        "doc_id string, payload binary")
+    parsed = parse_documents(ingest.ingest_pdf(raw))
+    row = parsed.select(
+        F.expr(X.doc_score()).alias("score"),
+        F.expr(X.doc_inquiries()).alias("inq")).collect()[0]
+    assert row["score"] == 627
+    assert row["inq"] == 0
+
+    # the pure-Python oracle agrees on the same reconstructed tables
+    from crego_document_extractor_spark import semantics as S
+    pr = parsed.collect()[0]
+    tl = [{"id": t["id"], "page": t["page"], "columns": list(t["columns"]),
+           "rows": [list(r) for r in t["rows"]], "raw": t["raw"]}
+          for t in pr["tables"]]
+    assert S.bureau_score(tl) == 627
+
+
 def test_all_six_fixture_months_extract(spark):
     """Every shipped GSTR fixture yields a non-Unknown month and a
     non-null sales value through the full pipeline."""
