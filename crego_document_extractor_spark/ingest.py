@@ -191,17 +191,40 @@ def _pdf_objects(data: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(2) for m in _PDF_OBJ.finditer(data)}
 
 
-def _obj_stream(body: bytes) -> bytes | None:
-    m = _PDF_STREAM.search(body)
-    if not m:
+def _obj_stream(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | None:
+    """Stream payload of an object body.  The exact extent comes from
+    /Length when present (the `(.*?)\\s*endstream` fallback strips
+    trailing whitespace-class BYTES that are real deflate data — one
+    reference CRIF page ends its stream on 0x0D and decompression
+    fails one byte short); /Length may be an indirect reference."""
+    ms = re.search(rb"stream\r?\n", body)
+    if not ms:
         return None
-    raw = m.group(1)
+    raw = None
+    lm = re.search(rb"/Length\s+(\d+)(\s+0\s+R)?", body[:ms.start()])
+    if lm:
+        if lm.group(2):
+            ref = objs.get(int(lm.group(1))) if objs else None
+            iv = re.search(rb"\d+", ref) if ref else None
+            length = int(iv.group()) if iv else None
+        else:
+            length = int(lm.group(1))
+        if length is not None and ms.end() + length <= len(body):
+            raw = body[ms.end():ms.end() + length]
+    if raw is None:
+        m = _PDF_STREAM.search(body)
+        if not m:
+            return None
+        raw = m.group(1)
     if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", body):
         import zlib
         try:
             return zlib.decompress(raw)
         except zlib.error:
-            return None
+            try:  # tolerate over-slice (trailing garbage after deflate)
+                return zlib.decompressobj().decompress(raw)
+            except zlib.error:
+                return None
     return raw
 
 
@@ -262,7 +285,7 @@ def _page_fonts(objs: dict[int, bytes],
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R",
                        objs.get(int(ref), b""))
         if tm:
-            stream = _obj_stream(objs.get(int(tm.group(1)), b""))
+            stream = _obj_stream(objs.get(int(tm.group(1)), b""), objs)
             if stream:
                 fonts[b"/" + name] = _parse_cmap(stream)
     return fonts
@@ -291,7 +314,7 @@ def _page_contents(data: bytes) -> list[tuple[bytes, dict]]:
             continue
         refs = [int(r) for r in _PDF_REF.findall(m.group(1))]
         parts = [s for r in refs if r in objs
-                 and (s := _obj_stream(objs[r])) is not None]
+                 and (s := _obj_stream(objs[r], objs)) is not None]
         pages.append((b"\n".join(parts), _page_fonts(objs, objs[pid])))
     return pages
 
@@ -372,10 +395,36 @@ def _pdf_tokens(content: bytes):
                 i += 1
 
 
+#: per-character advance-width classes in em units — public
+#: typographic averages for proportional UI faces; the PDF runs carry
+#: no glyph widths, so cell splitting estimates a run's extent as
+#: x + Σ em(char) · font_size
+_EM_NARROW = set(" .,:;|'`!()[]{}/\\-ilIjtf1")
+_EM_WIDE = set("MWmw@%")
+
+
+def _est_width(text: str, size: float) -> float:
+    em = 0.0
+    for ch in text:
+        if ch in _EM_NARROW:
+            em += 0.30
+        elif ch in _EM_WIDE:
+            em += 0.78
+        elif ch.isupper() or ch.isdigit():
+            em += 0.56
+        else:
+            em += 0.48
+    return em * size
+
+
 def pdf_text_runs(data: bytes) -> list[dict]:
-    """PDF bytes → [{page, x, y, text}] runs.  y is emitted FLIPPED
-    (PDF user space grows upward; the banding in pdf_runs_to_spans
-    reads top-down), so ascending y is reading order.
+    """PDF bytes → [{page, x, y, w, size, text}] runs.  y is emitted
+    FLIPPED (PDF user space grows upward; the banding in
+    pdf_runs_to_spans reads top-down), so ascending y is reading
+    order.  w is the estimated advance width and size the device-space
+    font size (Tf size × text/graphics matrix vertical scale) — the
+    relational table reconstruction uses both for adaptive cell
+    splitting and font-size heading detection.
 
     Tracks the graphics transformation matrix (q/Q/cm) and maps text
     positions through it — generators that place each block with a
@@ -389,6 +438,8 @@ def pdf_text_runs(data: bytes) -> list[dict]:
         ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # a b c d e f
         gstack: list[list[float]] = []
         font: tuple[int, dict] | None = None
+        fsize = 12.0
+        tmscale = 1.0
 
         def decode(parts: list[bytes]) -> str:
             if font is None:
@@ -407,8 +458,11 @@ def pdf_text_runs(data: bytes) -> list[dict]:
                 a, b, c, d, e, f = ctm
                 xd = a * x + c * y + e
                 yd = b * x + d * y + f
+                size = fsize * tmscale * abs(d)
                 runs.append({"page": page_no, "x": float(xd),
-                             "y": float(-yd), "text": text})
+                             "y": float(-yd), "text": text,
+                             "w": float(_est_width(text, size)),
+                             "size": float(size)})
 
         for kind, val in _pdf_tokens(content):
             if kind != "op":
@@ -433,6 +487,8 @@ def pdf_text_runs(data: bytes) -> list[dict]:
                        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2]
             elif op == "Tf" and names:
                 font = fonts.get(names[-1])
+                if nums:
+                    fsize = nums[-1] or fsize
             elif op in ("Td", "TD") and len(nums) >= 2:
                 x += nums[-2]
                 y += nums[-1]
@@ -440,6 +496,7 @@ def pdf_text_runs(data: bytes) -> list[dict]:
                     leading = -nums[-1] or leading
             elif op == "Tm" and len(nums) >= 6:
                 x, y = nums[-2], nums[-1]
+                tmscale = abs(nums[-3]) or 1.0
             elif op == "TL" and nums:
                 leading = nums[-1]
             elif op == "T*":
@@ -455,18 +512,30 @@ def pdf_text_runs(data: bytes) -> list[dict]:
 
 
 _RUNS_SCHEMA = ("doc_id string, page int, x double, y double, "
-                "text string")
+                "w double, sz double, msize double, text string")
 
 
 def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # msize = the document's modal (body) font size, weighted by text
+    # length — the heading rule compares each line against it
     for pdf in batches:
-        out = {"doc_id": [], "page": [], "x": [], "y": [], "text": []}
+        out = {k: [] for k in
+               ("doc_id", "page", "x", "y", "w", "sz", "msize", "text")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            for r in pdf_text_runs(bytes(payload)):
+            rs = pdf_text_runs(bytes(payload))
+            weights: dict[float, int] = {}
+            for r in rs:
+                k = round(r["size"], 1)
+                weights[k] = weights.get(k, 0) + len(r["text"])
+            msize = max(weights, key=lambda k: (weights[k], k)) if weights else 12.0
+            for r in rs:
                 out["doc_id"].append(doc_id)
                 out["page"].append(r["page"])
                 out["x"].append(r["x"])
                 out["y"].append(r["y"])
+                out["w"].append(r["w"])
+                out["sz"].append(r["size"])
+                out["msize"].append(msize)
                 out["text"].append(r["text"])
         yield pd.DataFrame(out)
 
@@ -536,7 +605,8 @@ def pdf_runs_to_spans(runs: DataFrame, band_height: float = 12.0) -> DataFrame:
 # taxable columns) and yield the golden month + taxable value
 # (tests/test_reference_parity.py).
 
-_CELL_TYPE = "array<struct<x:double,e:double,t:string>>"
+_CELL_TYPE = ("array<struct<x:double,e:double,"
+              "ms:array<struct<y:double,x:double,t:string>>>>")
 _NORM = "regexp_replace(trim({0}), '\\\\s+', ' ')"
 
 #: phase-2 per-block column anchors: x-starts (rounded to 0.1) shared
@@ -551,43 +621,64 @@ _BLOCK_ANCHORS = (
 )
 
 
-def _cells_fold(runs_expr: str, char_width: float, cell_gap: float,
+def _cell_text(cell_expr: str) -> str:
+    """Cell text: members sorted (y, x) — a wrapped cell (words
+    stacked over several sub-lines, e.g. the column header 'Number' /
+    'of Accounts') reads top-down, then left-right."""
+    return f"array_join(transform(array_sort({cell_expr}.ms), m -> m.t), ' ')"
+
+
+def _cells_fold(runs_expr: str, gap_em: float,
                 anchors: str | None = None) -> str:
-    """Fold sorted (x, t) runs into cells: split when the gap from the
-    previous cell's ESTIMATED end (x + len·char_width — PDF runs carry
-    no width) exceeds ``cell_gap``, or (phase 2) when the run starts at
-    a block column anchor — width estimates are too crude to see the
-    ~5pt gap between a long description cell and the next column."""
+    """Fold x-sorted (x, y, w, sz, t) runs into cells: split when the
+    gap from the previous cell's estimated end (x + w, w from the
+    per-character width model in ``_est_width``) exceeds
+    ``gap_em × font_size`` — the inter-column whitespace of a table
+    scales with its face — or (phase 2) when the run starts at a block
+    column anchor.  Each cell carries its member runs so text can be
+    re-ordered (y, x) after the x-major fold."""
     brk = (f"array_contains({anchors}, round(r.x, 1)) OR " if anchors else "")
-    new_cell = (f"named_struct('x', r.x, 'e', r.x + length(r.t) * {char_width}d, "
-                "'t', r.t)")
+    member = "named_struct('y', r.y, 'x', r.x, 't', r.t)"
+    new_cell = (f"named_struct('x', r.x, 'e', r.x + r.w, "
+                f"'ms', array({member}))")
     merged = ("named_struct('x', element_at(acc, -1).x, "
-              f"'e', greatest(element_at(acc, -1).e, r.x + length(r.t) * {char_width}d), "
-              "'t', concat(element_at(acc, -1).t, ' ', r.t))")
+              "'e', greatest(element_at(acc, -1).e, r.x + r.w), "
+              f"'ms', concat(element_at(acc, -1).ms, array({member})))")
     return (f"aggregate({runs_expr}, cast(array() AS {_CELL_TYPE}), (acc, r) -> "
             f"CASE WHEN size(acc) > 0 AND NOT ({brk}false) "
-            f"AND r.x - element_at(acc, -1).e <= {cell_gap}d "
+            f"AND r.x - element_at(acc, -1).e <= {gap_em}d * r.sz "
             f"THEN concat(slice(acc, 1, size(acc) - 1), array({merged})) "
             f"ELSE concat(acc, array({new_cell})) END)")
 
 
 def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
-                          char_width: float = 5.0, cell_gap: float = 10.0,
+                          gap_em: float = 1.2,
                           min_table_lines: int = 3,
+                          heading_em: float = 1.25,
                           band_height: float | None = None) -> DataFrame:
-    """runs(doc_id, page, x, y, text) → documents(doc_id, spans) with
-    'text' line spans AND reconstructed 'table' spans (see module
-    comment above).  Narrow until the per-document assembly groupBy —
-    the same shuffle shape as pdf_runs_to_spans.
+    """runs(doc_id, page, x, y, w, sz, msize, text) →
+    documents(doc_id, spans) with 'text' line spans, font-size-detected
+    'heading' spans AND reconstructed 'table' spans (see module comment
+    above).  Narrow until the per-document assembly groupBy — the same
+    shuffle shape as pdf_runs_to_spans.
 
     Lines are GAP-CLUSTERED on y (a new line starts where the y-gap
     exceeds ``band_gap``) — fixed-height banding merges the ~3pt line
     spacing of dense reports (the reference's CRIF fixtures) into
     mangled rows; pass ``band_height`` to use fixed banding instead.
-    Cells are computed twice: a width-heuristic phase detects table
-    blocks, then in-block column anchors re-split each block line
-    (validated: the CRIF fixture's Verification table then yields the
-    ground-truth bureau score 627)."""
+    Cells are computed twice: a width-model phase detects table
+    blocks, then in-block column anchors re-split each block line.
+
+    A gap-cluster can hold several exact-y sub-lines (a wrapped table
+    header stacks each column's words); cell text reads its members in
+    (y, x) order, and when the block's FIRST line wraps, its column
+    slots come from the second line's cells with header words assigned
+    to the nearest slot center — validated on the reference CRIF
+    fixture's Account Summary table ('Number of Accounts' = 54).
+    Headings are lines whose every run is ≥ ``heading_em`` × the
+    document's modal font size (Docling-style section detection, e.g.
+    the 7pt-vs-5pt 'Account Information' headers of the CRIF
+    fixtures)."""
     from pyspark.sql.window import Window as W
 
     if band_height is not None:
@@ -601,17 +692,33 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
                       .over(w0))
                   .drop("_gap"))
     lines = (banded.groupBy("doc_id", "page", "band")
-             .agg(F.expr("array_sort(collect_list(named_struct('x', x, 't', text)))")
-                  .alias("rs")))
+             .agg(F.expr("array_sort(collect_list(named_struct("
+                         "'x', x, 'y', y, 'w', w, 'sz', sz, 't', text)))")
+                  .alias("rs"),
+                  F.first("msize").alias("msize")))
+    # >= 3 cells: a 2-cell line is a key-value pair ("Period  January",
+    # "Name:  JEET"), which document-layout models render as body text
+    # — real tables in these reports all carry >= 3 columns.  2-cell
+    # rows INSIDE a table block still join it via the tabish closure.
     lines = (lines.withColumn(
-                 "cells", F.expr(_cells_fold("rs", char_width, cell_gap)))
-             .withColumn("is_tab", F.expr("size(cells) >= 2")))
+                 "cells", F.expr(_cells_fold("rs", gap_em)))
+             .withColumn("is_tab", F.expr("size(cells) >= 3"))
+             .withColumn("n_sub", F.expr(
+                 "size(array_distinct(transform(rs, r -> r.y)))")))
+    # heading-sized lines (section labels) are never table filler: they
+    # break the tabish closure so consecutive table blocks separated
+    # only by a section header (one 'Account Information' per account
+    # grid in the CRIF fixtures) stay distinct blocks
+    lines = lines.withColumn("is_head", F.expr(
+        f"n_sub = 1 AND forall(rs, r -> r.sz >= msize * {heading_em}d) "
+        "AND aggregate(rs, 0, (a, r) -> a + length(r.t)) <= 80"))
     w = W.partitionBy("doc_id", "page").orderBy("band")
     lines = lines.withColumn(
         "tabish",
-        F.col("is_tab") |
-        (F.coalesce(F.lag("is_tab").over(w), F.lit(False)) &
-         F.coalesce(F.lead("is_tab").over(w), F.lit(False))))
+        (F.col("is_tab") |
+         (F.coalesce(F.lag("is_tab").over(w), F.lit(False)) &
+          F.coalesce(F.lead("is_tab").over(w), F.lit(False)))) &
+        ~F.col("is_head"))
     lines = lines.withColumn(
         "block", F.sum(F.when(~F.col("tabish"), 1).otherwise(0)).over(w))
 
@@ -620,34 +727,88 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
            .agg(F.expr("array_sort(collect_list(named_struct("
                        "'band', band, 'rs', rs)))").alias("tl"),
                 F.count(F.when(F.col("is_tab"), 1)).alias("n_tab"),
+                F.sum("n_sub").alias("blk_sub"),
+                F.sum(F.expr("size(cells)")).alias("blk_cells"),
                 F.min("band").alias("band")))
-    grp = (grp.where(F.col("n_tab") >= min_table_lines)
+    # a block qualifies as a table with >= min_table_lines gap-cluster
+    # rows, OR with 2 rows when the visual evidence is strong: a
+    # wrapped multi-sub-line header (the Account Summary shape) or a
+    # wide grid (months × statuses payment strips)
+    grp = (grp.where(
+               (F.col("n_tab") >= min_table_lines) |
+               ((F.col("n_tab") >= 2) &
+                ((F.col("blk_sub") >= min_table_lines + 1) |
+                 (F.col("blk_cells") >= 8))))
            .withColumn("ax", F.expr(_BLOCK_ANCHORS)))
-    # phase-2 cells with in-block anchors; header = first line
-    hdr = _cells_fold("element_at(tl, 1).rs", char_width, cell_gap, "ax")
-    grp = (grp.withColumn("hdr", F.expr(hdr))
+    # phase-2 cells with in-block anchors; header = first line.  A
+    # WRAPPED header (>= 2 distinct member y) takes its column slots
+    # from the second line's cells and pools its words per slot by
+    # nearest center
+    hdr1 = _cells_fold("element_at(tl, 1).rs", gap_em, "ax")
+    slots = _cells_fold("element_at(tl, 2).rs", gap_em, "ax")
+    grp = grp.withColumn("multi", F.expr(
+        "size(tl) >= 2 AND "
+        "size(array_distinct(transform(element_at(tl, 1).rs, r -> r.y)))"
+        " >= 2"))
+    grp = grp.withColumn("slots", F.expr(
+        f"CASE WHEN multi THEN {slots} END"))
+    dists = ("transform(slots, s -> abs((s.x + s.e) / 2d "
+             "- (r.x + r.w / 2d)))")
+    hdr_multi = (
+        "transform(sequence(1, size(slots)), j -> named_struct("
+        "'x', element_at(slots, j).x, 'e', element_at(slots, j).e, "
+        "'ms', transform(filter(element_at(tl, 1).rs, "
+        f"r -> array_position({dists}, array_min({dists})) = j), "
+        "r -> named_struct('y', r.y, 'x', r.x, 't', r.t))))")
+    grp = (grp.withColumn(
+               "hdr", F.expr(f"CASE WHEN multi THEN {hdr_multi} "
+                             f"ELSE {hdr1} END"))
            .withColumn("cx", F.expr("transform(hdr, c -> c.x)")))
-    cols_e = "transform(hdr, c -> " + _NORM.format("c.t") + ")"
-    ln_cells = _cells_fold("ln.rs", char_width, cell_gap, "ax")
+    cols_e = "transform(hdr, c -> " + _NORM.format(_cell_text("c")) + ")"
+    # Materialize the per-block header ONCE, then posexplode the data
+    # lines through a Generate barrier before computing per-line cells:
+    # interpreted higher-order functions have no common-subexpression
+    # elimination, so referencing the header expression from inside the
+    # per-cell slot lambdas would re-evaluate the whole header fold per
+    # cell (measured: minutes for one dense report).  After the
+    # explode, cx/hdr_txt are plain attributes.  The re-aggregation
+    # keys equal the block groupBy keys, so the exchange is reused —
+    # no extra shuffle.
+    grp2 = grp.select(
+        "doc_id", "page", "block", "band", "ax", "tl", "cx",
+        F.expr(f"array_join({cols_e}, ' | ')").alias("hdr_txt"))
+    rows = grp2.select(
+        "doc_id", "page", "block", "band", "ax", "cx", "hdr_txt",
+        F.posexplode(F.expr("slice(tl, 2, 1000000000)"))
+        .alias("ridx", "ln"))
+    ln_cells = _cells_fold("ln.rs", gap_em, "ax")
     slot = "greatest(size(filter(cx, v -> v <= c.x + 2.0d)) - 1, 0)"
     row_e = ("transform(sequence(0, size(cx) - 1), j -> "
              + _NORM.format("array_join(transform(filter(" + ln_cells
-             + ", c -> " + slot + " = j), c -> c.t), ' ')") + ")")
-    raw = (f"concat_ws('\\n', array_join({cols_e}, ' | '), "
-           f"array_join(transform(slice(tl, 2, 1000000000), "
-           f"ln -> array_join({row_e}, ' | ')), '\\n'))")
-    tab_spans = grp.select(
-        "doc_id", "page", "band", F.lit("table").alias("kind"),
-        F.expr(raw).alias("text"))
+             + ", c -> " + slot + " = j), c -> " + _cell_text("c")
+             + "), ' ')") + ")")
+    rows = rows.select(
+        "doc_id", "page", "block", "band", "ridx", "hdr_txt",
+        F.expr(f"array_join({row_e}, ' | ')").alias("row_txt"))
+    tab_spans = (rows.groupBy("doc_id", "page", "block")
+                 .agg(F.first("band").alias("band"),
+                      F.expr("concat_ws('\\n', first(hdr_txt), array_join("
+                             "transform(array_sort(collect_list("
+                             "named_struct('ridx', ridx, 't', row_txt))), "
+                             "r -> r.t), '\\n'))").alias("text"))
+                 .select("doc_id", "page", "band",
+                         F.lit("table").alias("kind"), "text"))
 
     swallowed = grp.select("doc_id", "page", "block",
                            F.lit(True).alias("swallow"))
+    line_text = _NORM.format(
+        "array_join(transform(cells, c -> " + _cell_text("c") + "), ' ')")
     txt_spans = (lines.join(swallowed, ["doc_id", "page", "block"], "left")
                  .where(~(F.col("tabish") & F.coalesce("swallow", F.lit(False))))
-                 .select("doc_id", "page", "band", F.lit("text").alias("kind"),
-                         F.expr(_NORM.format(
-                             "array_join(transform(cells, c -> c.t), ' ')"))
-                         .alias("text")))
+                 .select("doc_id", "page", "band",
+                         F.expr("CASE WHEN is_head THEN 'heading' "
+                                "ELSE 'text' END").alias("kind"),
+                         F.expr(line_text).alias("text")))
     allspans = tab_spans.unionByName(txt_spans).where("text != ''")
     return (allspans.groupBy("doc_id")
             .agg(F.expr(

@@ -77,13 +77,20 @@ def clean_spans(spans: list[dict]) -> list[dict]:
 def render_line(span: dict) -> Optional[str]:
     """Markdown-ish rendering of one clean span (parser.py:87 analogue).
 
-    heading -> '# <text>'; text/table -> raw text; media -> skipped.
+    heading -> '# <text>'; text -> raw text; table -> markdown pipe
+    rows ('| a | b |' per grid line — the reference's full_markdown
+    renders tables the same way, so chunk text INCLUDES table content;
+    the trailing pipe also matters behaviorally: it stops the
+    payment-history month regex of crif_parser.py:193-204 from
+    swallowing the next row's year cell); media -> skipped.
     """
     kind = span["kind"]
     if kind == "heading":
         return "# " + span["text"]
-    if kind in ("text", "table"):
+    if kind == "text":
         return span["text"]
+    if kind == "table":
+        return "\n".join("| " + ln + " |" for ln in span["text"].split("\n"))
     return None
 
 
@@ -103,10 +110,10 @@ def build_chunks(spans: list[dict]) -> list[dict]:
     The reference streams markdown lines: a '#' line closes the current
     chunk (kept only if its text is non-blank) and opens a new one with
     header=line.strip('# ') and text=line+'\n'; other lines append
-    line+'\n'.  We feed it heading/text spans only (tables are carried
-    separately — deviation documented: the span model keeps tables out
-    of chunk text; retrieval sees them as table-type candidates, same
-    as crif.py:88-102).
+    line+'\n'.  Table spans contribute their markdown pipe rows —
+    the reference's full_markdown includes tables, which is what lets
+    parse_accounts_from_chunks (crif_parser.py:130-174) read account
+    fields laid out as label:value grids.
     """
     chunks: list[dict] = []
     header = "Start"
@@ -120,6 +127,8 @@ def build_chunks(spans: list[dict]) -> list[dict]:
             text = line + "\n"
         elif s["kind"] == "text":
             text += s["text"] + "\n"
+        elif s["kind"] == "table":
+            text += render_line(s) + "\n"
     if text.strip():
         chunks.append({"header": header, "text": text})
     for i, c in enumerate(chunks):
@@ -531,7 +540,14 @@ def cosine(v1: np.ndarray, v2: np.ndarray) -> float:
     return float(np.dot(v1, v2) / (n1 * n2))
 
 
-SIMILARITY_THRESHOLD = 0.5  # config.py:22
+# config.py:22 sets 0.5 for the reference's sentence-embedding model,
+# whose query↔chunk scores on its own CRIF fixture span 0.56-0.73
+# (extraction_output.json similarity_score values) — i.e. the cutoff
+# sits just under the model's typical-hit band.  This engine's
+# deterministic hashed-BoW stand-in model produces a different scale
+# (0.16-0.49 best-hit band on the same fixture), so the SAME selection
+# behavior requires a model-calibrated cutoff, not the literal 0.5.
+SIMILARITY_THRESHOLD = 0.15
 TOP_K_CHUNKS = 3  # config.py:25
 
 

@@ -128,3 +128,67 @@ def test_all_six_fixture_months_extract(spark):
         assert got[(d, "gst_month")]["value_str"] != "Unknown Month", d
         assert got[(d, "gst_sales")]["value_num"] is not None, d
         assert got[(d, "gst_sales")]["status"] == "extracted", d
+
+
+@pytest.mark.skipif(not os.path.exists(CRIFDIR),
+                    reason="reference fixtures not present")
+def test_crif_fixture_full_bureau_parameters(spark):
+    """FULL 15-parameter golden parity on the real JEET ARORA CRIF
+    fixture: raw PDF bytes → from-scratch extraction (Flate /Length
+    slicing, CTM tracking, gap-clustered lines, wrapped-header column
+    slots, font-size headings) → chunk/table reconstruction → the
+    whole pipeline — every parameter VALUE equals the reference's
+    golden output (extraction_output.json bureau_parameters ==
+    GROUND_TRUTH_CRIF of reference tests/test_accuracy.py:39-55), and
+    every status matches.
+
+    Source strings match exactly wherever they carry no account count
+    (Verification Table / Account Summary Table / Inquiry Table /
+    policy labels).  Count-bearing sources differ only in the account
+    denominator: this engine parses all 54 detailed accounts of the
+    report (the Account Summary itself says 54) where the reference's
+    Docling run recovered 36 — the flag/computed VALUES agree anyway.
+    Confidence is model-relative (similarity boost ladder over the
+    hash-embedding scores) and is asserted non-zero for extracted
+    parameters rather than equal to the reference model's values."""
+    import glob
+
+    from crego_document_extractor_spark import ingest, pipeline
+
+    p = glob.glob(os.path.join(CRIFDIR, "JEET*"))[0]
+    raw = spark.createDataFrame(
+        [("crif-fixture-jeet", bytearray(open(p, "rb").read()))],
+        "doc_id string, payload binary")
+    _, results = pipeline.run(ingest.ingest_pdf(raw), repartition=False)
+    got = {r["param_id"]: r.asDict() for r in results.collect()}
+    golden = json.load(open(GOLDEN))["bureau_parameters"]
+    assert set(got) >= set(golden)
+
+    count_free = {
+        "bureau_credit_score", "bureau_written_off_debt_amount",
+        "bureau_max_loans", "bureau_max_active_loans",
+        "bureau_credit_inquiries", "bureau_overdue_threshold",
+        "bureau_loan_amount_threshold",
+    }
+    for pid, g in golden.items():
+        r = got[pid]
+        if r["value_type"] in ("int", "float"):
+            val = r["value_num"]
+        elif r["value_type"] == "bool":
+            val = r["value_bool"]
+        else:
+            val = None if r["value_str"] == "null" else r["value_str"]
+        if g["value"] is None:
+            assert val is None, pid
+        elif isinstance(g["value"], bool):
+            assert val is g["value"], pid
+        else:
+            assert val is not None and float(val) == float(g["value"]), pid
+        assert r["status"] == g["status"], pid
+        if pid in count_free:
+            assert r["source"] == g["source"], pid
+        else:
+            # same source template, our account denominator (54)
+            assert "54 accounts" in r["source"], pid
+        if g["status"] == "extracted":
+            assert r["confidence"] > 0, pid
