@@ -61,7 +61,11 @@ def parse_with_cache(docs: DataFrame, cache_dir: str) -> tuple[DataFrame, dict]:
                     "spans"))
     fresh = (parse_documents(uniq)
              .withColumn("content_key", F.expr("substring_index(doc_id, '|', 1)"))
-             .withColumn("doc_id", F.expr("substring(doc_id, 66)")))
+             # offset derives from the recovered key, not a hardcoded
+             # 64-hex length — KEY_EXPR changes can't corrupt the
+             # restored debug doc_id
+             .withColumn("doc_id", F.expr(
+                 "substring(doc_id, length(content_key) + 2)")))
     fresh = fresh.withColumn("doc_kind", F.expr(DOC_KIND_SQL))
     fresh.persist()
     n_misses = fresh.count()

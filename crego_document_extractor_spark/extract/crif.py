@@ -341,18 +341,31 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     return extract_all(parsed.where(F.col("doc_kind") == "crif"))
 
 
-def extract_all(parsed: DataFrame, engine: str = "sql") -> DataFrame:
+def default_engine() -> str:
+    """THE engine-selection point, shared by every entry path
+    (pipeline.extract_parameters, direct extract_all/extract_crif
+    callers, bench children): `SPARK_GRAFT_ENGINE` env, falling back
+    to the A/B-measured default 'udf' (BENCH/BASELINE.md)."""
+    import os
+    return os.environ.get("SPARK_GRAFT_ENGINE", "udf")
+
+
+def extract_all(parsed: DataFrame, engine: str | None = None) -> DataFrame:
     """UNIFIED single-plan extraction for both document kinds.
 
     Kind routing (main.py:66-69) is a CASE over per-kind result arrays
     inside ONE lineage, so the parse stage executes exactly once (a
     plan-level union re-runs the Python parse per branch — measured).
 
-    engine='sql' (default, round 3): the retrieval stage runs JVM-side
+    engine=None resolves via ``default_engine()`` (env switch, 'udf'
+    fallback — the measured design-point winner).
+    engine='sql': the retrieval stage runs JVM-side
     (retrieval_sql.py) — zero Python beyond the Arrow parse.
-    engine='udf': the round-2 Arrow pandas_udf retrieval — kept as an
-    INDEPENDENT physical plan for the A9 consistency check
-    (test_accuracy.py:79-115 analogue: two engines must agree)."""
+    engine='udf': the Arrow pandas_udf retrieval — an INDEPENDENT
+    physical plan; the A9 consistency check (test_accuracy.py:79-115
+    analogue) proves the two agree."""
+    if engine is None:
+        engine = default_engine()
     if engine == "sql":
         from .gstr import gstr_result_structs, with_gstr_columns
         from .retrieval_sql import relational_extract_columns

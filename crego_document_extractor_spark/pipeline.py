@@ -53,16 +53,15 @@ def extract_parameters(parsed: DataFrame, mode: str = "embedding") -> DataFrame:
     re-run it per branch).  mode='legacy' is the direct-parsing path
     (crif_legacy.py)."""
     if mode == "embedding":
-        import os
         # Engine default decided by measurement (BENCH/BASELINE.md):
         # the Arrow-UDF retrieval plan is ~1.8x faster end-to-end AND
         # scales no worse than the pure-JVM relational plan on this
         # host — removing the Python stage did not move the 8→32
         # ceiling, so the fast engine is the default and the
         # relational engine stays selectable (SPARK_GRAFT_ENGINE=sql)
-        # and agreement-proven (q_a9b_engine_agreement).
-        return extract_all(parsed,
-                           engine=os.environ.get("SPARK_GRAFT_ENGINE", "udf"))
+        # and agreement-proven (q_a9b_engine_agreement).  Resolution
+        # lives in ONE place: extract.crif.default_engine().
+        return extract_all(parsed)
     return extract_crif_legacy(parsed).unionByName(extract_gstr(parsed))
 
 

@@ -74,20 +74,24 @@ DEDUP_OUT_SCHEMA = "doc_id string, content_key string, bucket int"
 
 def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
                  checkpoint_dir: str, buckets: int = 64,
-                 max_state_per_bucket: int | None = 100_000):
+                 max_state_per_bucket: int | None = None):
     """Streaming incremental exact-dedup — the custom STATEFUL operator
     (applyInPandasWithState): only the first occurrence of each content
     hash across ALL micro-batches is emitted; the seen-set lives in
     checkpointed group state keyed by a hash bucket, so a restarted
     stream continues suppressing duplicates it saw before the restart.
 
-    State is BOUNDED: each bucket keeps at most `max_state_per_bucket`
-    hashes in insertion order and evicts the oldest beyond that — a
-    dedup horizon of `buckets * max_state_per_bucket` most-recent
-    distinct documents.  A duplicate of a document older than the
-    horizon is re-emitted (at-least-once outside the horizon, exact
-    inside it) — the standard unbounded-stream trade; pass ``None``
-    for the exact unbounded set when the key space is known small."""
+    The DEFAULT (``max_state_per_bucket=None``) keeps the exact
+    unbounded seen-set — existing callers get exact dedup semantics.
+    Passing a bound OPTS IN to bounded state: each bucket keeps at
+    most `max_state_per_bucket` hashes in insertion order and evicts
+    the oldest beyond that — a dedup horizon of
+    `buckets * max_state_per_bucket` most-recent distinct documents,
+    with duplicates older than the horizon re-emitted (at-least-once
+    outside the horizon, exact inside it).  At 10^12-document scale
+    the bound is what you want (e.g. 64 × 100k ≈ 6.4M-doc horizon per
+    partition group); the exact default is for known-small key
+    spaces."""
     import pandas as pd  # noqa: F811 (worker-side import)
 
     def dedup_fn(key, pdfs, state):

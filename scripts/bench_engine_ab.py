@@ -37,8 +37,9 @@ def child(cpus: int, corpus: str) -> None:
         pipeline.extract_parameters(parse_documents(docs)).count()
         walls.append(round(time.perf_counter() - t0, 3))
         best = min(best, walls[-1])
+    from crego_document_extractor_spark.extract.crif import default_engine
     print(json.dumps({"cpus": cpus,
-                      "engine": os.environ.get("SPARK_GRAFT_ENGINE", "sql"),
+                      "engine": default_engine(),
                       "sec": round(best, 3), "walls": walls,
                       "loadavg": list(os.getloadavg())}))
     spark.stop()
