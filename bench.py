@@ -65,11 +65,11 @@ def main() -> None:
 
     all_runs: dict[str, list[float]] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, n_runs=None):
         fn()  # warm
         best = float("inf")
         walls = []
-        for _ in range(runs):
+        for _ in range(n_runs or runs):
             t0 = time.perf_counter()
             fn()
             walls.append(round(time.perf_counter() - t0, 3))
@@ -93,7 +93,12 @@ def main() -> None:
         from crego_document_extractor_spark.extract.crif import extract_all
         extract_all(parse_documents(docs_df), engine="sql").count()
 
-    timed("flagship_extraction", flagship)
+    # 5 runs for the single headline number when the host is quiet
+    # (3 runs on a noisy shared host were a 1.7x spread in round 3);
+    # the per-query set keeps `runs` to bound total wall time
+    flagship_runs = 5 if os.getloadavg()[0] < float(
+        os.environ.get("SPARK_GRAFT_QUIET_THRESH", "3")) else runs
+    timed("flagship_extraction", flagship, n_runs=flagship_runs)
     timed("clean_spans_pass", spans_pass)
     # the pure-JVM relational engine, timed alongside (informational —
     # not part of the headline total; see BENCH/BASELINE.md engine A/B)
@@ -109,6 +114,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(N_DOCS / timings["flagship_extraction"], 2)
+    from crego_document_extractor_spark.extract.crif import default_engine
+    fastest_sec = min(timings["flagship_extraction"], relational_sec)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -118,6 +125,15 @@ def main() -> None:
         "bench_docs": N_DOCS,
         "extraction_docs_per_sec": docs_per_sec,
         "relational_engine_sec": relational_sec,
+        # both engines are always timed; the headline uses the SHIPPED
+        # default (A/B winner at the 160k design point), and the
+        # crossover is made explicit so a reader at THIS corpus size
+        # can see which engine is faster here (ENGINE_AB.md)
+        "engine_default": default_engine(),
+        "fastest_engine": ("default" if fastest_sec ==
+                           timings["flagship_extraction"] else "sql"),
+        "fastest_extraction_docs_per_sec": round(N_DOCS / fastest_sec, 2),
+        "engine_crossover_docs_approx": 100_000,
         "parallelism": CPUS,
         # shared-host diagnostics: this machine sees external tenant
         # load (loadavg spikes with zero in-container CPU) that can
