@@ -118,7 +118,9 @@ def main() -> None:
         f"| {lo} → {hi} | {tl:.2f} → {th:.2f} | {thl:.0f} → {thh:.0f} | **{e:.3f}** |"
         for lo, hi, tl, th, thl, thh, e in rows)
     best_thr = max(r[5] for r in rows)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # SCALING_LAST.md, not BASELINE.md: BASELINE.md carries hand-written
+    # cross-round analysis that a raw regeneration would clobber
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST.md"), "w") as f:
         f.write(f"""# BENCH — two-parallelism scaling evidence
 
 North_rule criterion: throughput scaling efficiency >= 0.8 between N
@@ -167,7 +169,7 @@ machine class.
 
 Reproduce: `python scripts/bench_scaling.py {n_docs}`.
 """)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/SCALING_LAST.md")
 
 
 if __name__ == "__main__":
