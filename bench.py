@@ -126,14 +126,15 @@ def main() -> None:
         "extraction_docs_per_sec": docs_per_sec,
         "relational_engine_sec": relational_sec,
         # both engines are always timed; the headline uses the SHIPPED
-        # default (A/B winner at the 160k design point), and the
-        # crossover is made explicit so a reader at THIS corpus size
-        # can see which engine is faster here (ENGINE_AB.md)
+        # default (A/B winner at the 160k design point) and the JSON
+        # records which engine was actually faster at THIS corpus size
+        # (ENGINE_AB.md; the r3 ~100k crossover where the relational
+        # plan won small corpora shifted below 24k with the r4
+        # semantics — udf won or tied at every size measured in r4)
         "engine_default": default_engine(),
         "fastest_engine": ("default" if fastest_sec ==
                            timings["flagship_extraction"] else "sql"),
         "fastest_extraction_docs_per_sec": round(N_DOCS / fastest_sec, 2),
-        "engine_crossover_docs_approx": 100_000,
         "parallelism": CPUS,
         # shared-host diagnostics: this machine sees external tenant
         # load (loadavg spikes with zero in-container CPU) that can
