@@ -188,7 +188,32 @@ _STR_ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
 
 
 def _pdf_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _PDF_OBJ.finditer(data)}
+    """All indirect objects by number, scanned lexically (works with
+    classic AND xref-stream files — the xref table is never needed for
+    discovery because every object body is physically present).  PDF
+    1.5+ object streams (/Type/ObjStm) are expanded: their payload is
+    `/N` packed objects (dictionaries only — the spec forbids streams
+    inside an ObjStm) preceded by `/First` bytes of "objnum offset"
+    pairs."""
+    objs = {int(m.group(1)): m.group(2) for m in _PDF_OBJ.finditer(data)}
+    for body in [b for b in objs.values()
+                 if re.search(rb"/Type\s*/ObjStm\b", b)]:
+        payload = _obj_stream(body, objs)
+        if payload is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", body)
+        fm = re.search(rb"/First\s+(\d+)", body)
+        if not (nm and fm):
+            continue
+        first = int(fm.group(1))
+        head = payload[:first].split()
+        pairs = [(int(head[i]), int(head[i + 1]))
+                 for i in range(0, 2 * int(nm.group(1)), 2)
+                 if i + 1 < len(head)]
+        for k, (num, off) in enumerate(pairs):
+            end = (first + pairs[k + 1][1]) if k + 1 < len(pairs) else len(payload)
+            objs.setdefault(num, payload[first + off:end])
+    return objs
 
 
 def _obj_stream(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | None:

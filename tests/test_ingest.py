@@ -150,3 +150,41 @@ def test_reference_fixture_pdf_extracts_text():
     blob = " ".join(r["text"] for r in runs)
     assert len(runs) > 20
     assert "GSTR" in blob or "3B" in blob or "tax" in blob.lower()
+# will be appended to tests/test_ingest.py
+def _objstm_pdf() -> bytes:
+    """PDF 1.5-style fixture: catalog/pages/page DICTIONARIES packed in
+    a compressed /ObjStm; the content stream stays a classic object."""
+    import zlib
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    header = []
+    for num, b in inner:
+        header.append(f"{num} {len(bodies)}".encode())
+        bodies += b + b"\n"
+    head = b" ".join(header) + b"\n"
+    payload = head + bodies
+    z = zlib.compress(payload)
+    objstm = (b"<< /Type /ObjStm /N 3 /First " + str(len(head)).encode()
+              + b" /Filter /FlateDecode /Length " + str(len(z)).encode()
+              + b" >>\nstream\n" + z + b"\nendstream")
+    content = b"BT 1 0 0 1 50 700 Tm (packed objects work) Tj ET"
+    zc = zlib.compress(content)
+    cobj = (b"<< /Filter /FlateDecode /Length " + str(len(zc)).encode()
+            + b" >>\nstream\n" + zc + b"\nendstream")
+    out = [b"%PDF-1.5"]
+    for n, body in ((4, objstm), (5, cobj)):
+        out.append(f"{n} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def test_objstm_pdf_extracts_text():
+    """PDF 1.5 object streams: page tree dictionaries packed in a
+    compressed /ObjStm are expanded and their content extracts."""
+    from crego_document_extractor_spark.ingest import pdf_text_runs
+    runs = pdf_text_runs(_objstm_pdf())
+    assert any("packed objects work" in r["text"] for r in runs)

@@ -192,3 +192,32 @@ def test_crif_fixture_full_bureau_parameters(spark):
             assert "54 accounts" in r["source"], pid
         if g["status"] == "extracted":
             assert r["confidence"] > 0, pid
+
+@pytest.mark.skipif(not os.path.exists(CRIFDIR),
+                    reason="reference fixtures not present")
+def test_all_six_crif_fixtures_extract(spark):
+    """Every shipped CRIF bureau-report fixture runs raw bytes → full
+    pipeline and yields all 15 bureau parameters with a plausible
+    in-range score (golden values exist only for the JEET fixture;
+    this guards the reconstruction against the other five layouts)."""
+    from crego_document_extractor_spark import ingest, pipeline
+
+    rows = [(f"crif-fix-{i}",
+             bytearray(open(os.path.join(CRIFDIR, p), "rb").read()))
+            for i, p in enumerate(sorted(os.listdir(CRIFDIR)))
+            if p.endswith(".pdf")]
+    raw = spark.createDataFrame(rows, "doc_id string, payload binary")
+    _, results = pipeline.run(ingest.ingest_pdf(raw), repartition=False)
+    got = {}
+    for r in results.collect():
+        got.setdefault(r["doc_id"], {})[r["param_id"]] = r.asDict()
+    assert len(got) == 6
+    for d, params in got.items():
+        assert len(params) == 15, d
+        score = params["bureau_credit_score"]
+        if score["status"] == "extracted" and score["value_num"] is not None:
+            assert 300 <= score["value_num"] <= 900, d
+        # the summary-sourced counts parse as non-negative ints
+        ml = params["bureau_max_loans"]
+        if ml["value_num"] is not None:
+            assert ml["value_num"] >= 0, d
