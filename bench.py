@@ -96,7 +96,9 @@ def main() -> None:
     # 5 runs for the single headline number when the host is quiet
     # (3 runs on a noisy shared host were a 1.7x spread in round 3);
     # the per-query set keeps `runs` to bound total wall time
-    flagship_runs = 5 if os.getloadavg()[0] < float(
+    # gate on the PRE-WARMUP load (LOAD0): by this point our own
+    # warm-up has pushed the 1-min average over any threshold
+    flagship_runs = 5 if LOAD0[0] < float(
         os.environ.get("SPARK_GRAFT_QUIET_THRESH", "3")) else runs
     timed("flagship_extraction", flagship, n_runs=flagship_runs)
     timed("clean_spans_pass", spans_pass)
