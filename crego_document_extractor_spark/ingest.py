@@ -747,101 +747,161 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
     lines = lines.withColumn(
         "block", F.sum(F.when(~F.col("tabish"), 1).otherwise(0)).over(w))
 
-    grp = (lines.where("tabish")
-           .groupBy("doc_id", "page", "block")
-           .agg(F.expr("array_sort(collect_list(named_struct("
-                       "'band', band, 'rs', rs)))").alias("tl"),
-                F.count(F.when(F.col("is_tab"), 1)).alias("n_tab"),
-                F.sum("n_sub").alias("blk_sub"),
-                F.sum(F.expr("size(cells)")).alias("blk_cells"),
-                F.min("band").alias("band")))
+    # ---- SINGLE-LINEAGE block analysis.  Everything below runs over
+    # window partitions (doc_id, page, block) — the same hash(doc_id,
+    # page) clustering the banding shuffle already established — so the
+    # whole reconstruction is ONE pass over ONE execution of the Python
+    # byte-extraction stage.  (The previous formulation unioned a
+    # table-span branch with a text-span branch and anti-joined a
+    # swallowed-block set: three independent subtrees, and because
+    # column pruning makes them non-identical, no exchange reuse — the
+    # PDF parse executed three times per ingest.)  Per-row window state
+    # stays SMALL (scalars, one line's runs, per-line x-start sets):
+    # collecting each block's full run array per row was measured 2x
+    # slower than even the triple-execution plan.
+    wb = (W.partitionBy("doc_id", "page", "block").orderBy("band")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    wbo = (W.partitionBy("doc_id", "page", "block").orderBy("band")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    lines = (lines
+             # block partitions include the leading NON-tabish line
+             # that opened the block id, so every block statistic and
+             # the rank must restrict to tabish rows explicitly
+             .withColumn("n_tab", F.sum(F.when(
+                 F.col("is_tab") & F.col("tabish"), 1)
+                 .otherwise(0)).over(wb))
+             .withColumn("blk_sub", F.sum(F.when(F.col("tabish"),
+                                                 F.col("n_sub"))).over(wb))
+             .withColumn("blk_cells", F.sum(F.when(
+                 F.col("tabish"), F.expr("size(cells)"))).over(wb))
+             .withColumn("rn", F.when(F.col("tabish"), F.sum(
+                 F.when(F.col("tabish"), 1).otherwise(0)).over(wbo))))
     # a block qualifies as a table with >= min_table_lines gap-cluster
     # rows, OR with 2 rows when the visual evidence is strong: a
     # wrapped multi-sub-line header (the Account Summary shape) or a
     # wide grid (months × statuses payment strips)
-    grp = (grp.where(
-               (F.col("n_tab") >= min_table_lines) |
-               ((F.col("n_tab") >= 2) &
-                ((F.col("blk_sub") >= min_table_lines + 1) |
-                 (F.col("blk_cells") >= 8))))
-           .withColumn("ax", F.expr(_BLOCK_ANCHORS)))
-    # phase-2 cells with in-block anchors; header = first line.  A
-    # WRAPPED header (>= 2 distinct member y) takes its column slots
+    lines = lines.withColumn(
+        "qual",
+        (F.col("n_tab") >= min_table_lines) |
+        ((F.col("n_tab") >= 2) &
+         ((F.col("blk_sub") >= min_table_lines + 1) |
+          (F.col("blk_cells") >= 8))))
+
+    # phase-2 cells with in-block anchors; header = first tabish line.
+    # A WRAPPED header (>= 2 distinct member y) takes its column slots
     # from the second line's cells and pools its words per slot by
-    # nearest center
-    hdr1 = _cells_fold("element_at(tl, 1).rs", gap_em, "ax")
-    slots = _cells_fold("element_at(tl, 2).rs", gap_em, "ax")
-    grp = grp.withColumn("multi", F.expr(
-        "size(tl) >= 2 AND "
-        "size(array_distinct(transform(element_at(tl, 1).rs, r -> r.y)))"
-        " >= 2"))
-    grp = grp.withColumn("slots", F.expr(
-        f"CASE WHEN multi THEN {slots} END"))
+    # nearest center.  hdr/cx/hdr_txt EVALUATE only on the rn=1 row
+    # (CASE guard) and PROPAGATE to the block's other rows through
+    # first_value windows — window output is materialized, so the per-
+    # line cell lambdas below reference plain attributes instead of
+    # re-evaluating the header fold per cell (interpreted higher-order
+    # functions have no common-subexpression elimination; measured:
+    # minutes for one dense report without this).
+    lines = (lines
+             .withColumn("hdr_rs", F.first(
+                 F.expr("CASE WHEN tabish THEN rs END"),
+                 ignorenulls=True).over(wb))
+             .withColumn("slots_rs", F.first(
+                 F.expr("CASE WHEN rn = 2 THEN rs END"),
+                 ignorenulls=True).over(wb))
+             # per-line distinct rounded x-starts; the block anchor
+             # rule (x shared by >= 3 lines) folds over these small
+             # sets instead of the full per-block run arrays
+             .withColumn("tlx", F.expr(
+                 "collect_list(CASE WHEN tabish THEN array_distinct("
+                 "transform(rs, r -> round(r.x, 1))) END) OVER "
+                 "(PARTITION BY doc_id, page, block)")))
+    anchors = ("filter(array_distinct(flatten(tlx)), v -> "
+               "size(filter(tlx, l -> array_contains(l, v))) >= 3)")
+    hdr1 = _cells_fold("hdr_rs", gap_em, "ax")
+    slots = _cells_fold("slots_rs", gap_em, "ax")
     dists = ("transform(slots, s -> abs((s.x + s.e) / 2d "
              "- (r.x + r.w / 2d)))")
     hdr_multi = (
         "transform(sequence(1, size(slots)), j -> named_struct("
         "'x', element_at(slots, j).x, 'e', element_at(slots, j).e, "
-        "'ms', transform(filter(element_at(tl, 1).rs, "
+        "'ms', transform(filter(hdr_rs, "
         f"r -> array_position({dists}, array_min({dists})) = j), "
         "r -> named_struct('y', r.y, 'x', r.x, 't', r.t))))")
-    grp = (grp.withColumn(
-               "hdr", F.expr(f"CASE WHEN multi THEN {hdr_multi} "
-                             f"ELSE {hdr1} END"))
-           .withColumn("cx", F.expr("transform(hdr, c -> c.x)")))
-    cols_e = "transform(hdr, c -> " + _NORM.format(_cell_text("c")) + ")"
-    # Materialize the per-block header ONCE, then posexplode the data
-    # lines through a Generate barrier before computing per-line cells:
-    # interpreted higher-order functions have no common-subexpression
-    # elimination, so referencing the header expression from inside the
-    # per-cell slot lambdas would re-evaluate the whole header fold per
-    # cell (measured: minutes for one dense report).  After the
-    # explode, cx/hdr_txt are plain attributes.  The re-aggregation
-    # keys equal the block groupBy keys, so the exchange is reused —
-    # no extra shuffle.
-    grp2 = grp.select(
-        "doc_id", "page", "block", "band", "ax", "tl", "cx",
-        F.expr(f"array_join({cols_e}, ' | ')").alias("hdr_txt"))
-    rows = grp2.select(
-        "doc_id", "page", "block", "band", "ax", "cx", "hdr_txt",
-        F.posexplode(F.expr("slice(tl, 2, 1000000000)"))
-        .alias("ridx", "ln"))
-    ln_cells = _cells_fold("ln.rs", gap_em, "ax")
+    lines = (lines
+             .withColumn("ax", F.expr(
+                 f"CASE WHEN qual AND rn = 1 THEN {anchors} END"))
+             .withColumn("multi", F.expr(
+                 "qual AND rn = 1 AND slots_rs IS NOT NULL AND "
+                 "size(array_distinct(transform(hdr_rs, r -> r.y))) >= 2"))
+             .withColumn("slots", F.expr(
+                 f"CASE WHEN multi THEN {slots} END")))
+    cols_e = ("transform(CASE WHEN multi THEN " + hdr_multi +
+              f" ELSE {hdr1} END, c -> " + _NORM.format(_cell_text("c")) + ")")
+    lines = (lines
+             .withColumn("cx1", F.expr(
+                 "CASE WHEN qual AND rn = 1 THEN CASE WHEN multi "
+                 f"THEN transform(slots, s -> s.x) "
+                 f"ELSE transform({hdr1}, c -> c.x) END END"))
+             .withColumn("hdr_txt", F.expr(
+                 "CASE WHEN qual AND rn = 1 THEN "
+                 f"array_join({cols_e}, ' | ') END")))
+    lines = (lines
+             .withColumn("cx", F.first("cx1", ignorenulls=True).over(wb))
+             .withColumn("axp", F.first("ax", ignorenulls=True).over(wb)))
+    ln_cells = _cells_fold("rs", gap_em, "axp")
     slot = "greatest(size(filter(cx, v -> v <= c.x + 2.0d)) - 1, 0)"
     row_e = ("transform(sequence(0, size(cx) - 1), j -> "
              + _NORM.format("array_join(transform(filter(" + ln_cells
              + ", c -> " + slot + " = j), c -> " + _cell_text("c")
              + "), ' ')") + ")")
-    rows = rows.select(
-        "doc_id", "page", "block", "band", "ridx", "hdr_txt",
-        F.expr(f"array_join({row_e}, ' | ')").alias("row_txt"))
-    tab_spans = (rows.groupBy("doc_id", "page", "block")
-                 .agg(F.first("band").alias("band"),
-                      F.expr("concat_ws('\\n', first(hdr_txt), array_join("
-                             "transform(array_sort(collect_list("
-                             "named_struct('ridx', ridx, 't', row_txt))), "
-                             "r -> r.t), '\\n'))").alias("text"))
-                 .select("doc_id", "page", "band",
-                         F.lit("table").alias("kind"), "text"))
-
-    swallowed = grp.select("doc_id", "page", "block",
-                           F.lit(True).alias("swallow"))
     line_text = _NORM.format(
         "array_join(transform(cells, c -> " + _cell_text("c") + "), ' ')")
-    txt_spans = (lines.join(swallowed, ["doc_id", "page", "block"], "left")
-                 .where(~(F.col("tabish") & F.coalesce("swallow", F.lit(False))))
-                 .select("doc_id", "page", "band",
-                         F.expr("CASE WHEN is_head THEN 'heading' "
-                                "ELSE 'text' END").alias("kind"),
-                         F.expr(line_text).alias("text")))
-    allspans = tab_spans.unionByName(txt_spans).where("text != ''")
+    # each line becomes ONE output row: a table header row ('thdr',
+    # the joined column names), a table data row ('trow'), a heading,
+    # or a text line; the per-document fold below stitches thdr+trow
+    # runs into single 'table' spans — no per-block collect window and
+    # no second subtree over the parse
+    allspans = (lines
+                .withColumn("kind", F.expr(
+                    "CASE WHEN qual AND tabish THEN "
+                    "  CASE WHEN rn = 1 THEN 'thdr' ELSE 'trow' END "
+                    "WHEN is_head THEN 'heading' ELSE 'text' END"))
+                .select("doc_id", "page", "band",
+                        F.col("block").alias("blk"), "kind",
+                        F.expr("CASE WHEN kind = 'thdr' "
+                               "THEN coalesce(hdr_txt, '') "
+                               f"WHEN kind = 'trow' "
+                               f"THEN array_join({row_e}, ' | ') "
+                               f"ELSE {line_text} END").alias("text"))
+                .where("kind IN ('thdr', 'trow') OR text != ''"))
+    span_t = "struct<kind:string,text:string,media_ref:string,offset:int>"
+    state_t = f"struct<acc:array<{span_t}>,tpage:int,ttext:string>"
+    tspan = ("named_struct('kind', 'table', 'text', s.ttext, "
+             "'media_ref', concat('page:', cast(s.tpage AS string)), "
+             "'offset', 0)")
+    flushed = (f"CASE WHEN s.ttext IS NOT NULL "
+               f"THEN concat(s.acc, array({tspan})) ELSE s.acc END")
+    fold = f"""
+        aggregate(
+          array_sort(collect_list(named_struct(
+            'page', page, 'band', band, 'blk', blk,
+            'kind', kind, 'text', text))),
+          cast(named_struct('acc', array(), 'tpage', NULL, 'ttext', NULL)
+               AS {state_t}),
+          (s, r) -> CASE
+            WHEN r.kind = 'thdr' THEN named_struct(
+              'acc', {flushed}, 'tpage', r.page, 'ttext', r.text)
+            WHEN r.kind = 'trow' THEN named_struct(
+              'acc', s.acc, 'tpage', s.tpage,
+              'ttext', concat_ws('\\n', s.ttext, r.text))
+            ELSE named_struct(
+              'acc', concat({flushed}, array(named_struct(
+                'kind', r.kind, 'text', r.text,
+                'media_ref', concat('page:', cast(r.page AS string)),
+                'offset', 0))),
+              'tpage', CAST(NULL AS int), 'ttext', CAST(NULL AS string))
+          END,
+          s -> transform(
+            filter({flushed}, r -> r.text != ''),
+            (r, i) -> named_struct('kind', r.kind, 'text', r.text,
+                                   'media_ref', r.media_ref,
+                                   'offset', i)))
+    """
     return (allspans.groupBy("doc_id")
-            .agg(F.expr(
-                "transform(array_sort(collect_list(named_struct("
-                "'page', page, 'band', band, 'kind', kind, 'text', text))), "
-                "(r, i) -> named_struct("
-                "'kind', r.kind, 'text', r.text, "
-                "'media_ref', concat('page:', cast(r.page AS string)), "
-                "'offset', i))").alias("spans")))
-
-
+            .agg(F.expr(fold).alias("spans")))
