@@ -129,3 +129,30 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     # at least the 4*3 most-recent hashes stayed suppressed
     assert n2 - n1 <= n1 - 4 * 3
     assert n2 - n1 >= 0
+
+
+def test_stream_dedup_bloom_sketch(spark, tmp_path):
+    """state='bloom': fixed-size per-bucket Bloom state gives the same
+    dedup output as the exact path on a small corpus (FP probability
+    negligible at these counts), across micro-batches and a restart."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    corpus.write_corpus(f"{in_dir}/part1.parquet", 30, seed=5, big_doc_every=0)
+    q = streaming.stream_dedup(spark, in_dir, out_dir, ckpt,
+                               buckets=4, state="bloom",
+                               sketch_bits=1 << 16)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(f"{out_dir}/unique")
+    assert got1.count() == 30
+    # restart with 30 duplicate + 20 new contents: the sketch restored
+    # from the checkpoint keeps suppressing everything already seen
+    corpus.write_corpus(f"{in_dir}/part2.parquet", 50, seed=5, big_doc_every=0)
+    q2 = streaming.stream_dedup(spark, in_dir, out_dir, ckpt,
+                                buckets=4, state="bloom",
+                                sketch_bits=1 << 16)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(f"{out_dir}/unique")
+    assert got2.count() == 50
+    assert got2.select("content_key").distinct().count() == 50
