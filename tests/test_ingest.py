@@ -188,3 +188,16 @@ def test_objstm_pdf_extracts_text():
     from crego_document_extractor_spark.ingest import pdf_text_runs
     runs = pdf_text_runs(_objstm_pdf())
     assert any("packed objects work" in r["text"] for r in runs)
+
+
+def test_ingest_pdf_partitioning_invariance(spark):
+    """The windowed single-pass reconstruction must give identical
+    spans regardless of the input's physical partitioning."""
+    raw = spark.createDataFrame(
+        [(f"crif-{i:03d}", bytearray(_objstm_pdf() if i % 2 else _mini_pdf([f"BT 1 0 0 1 50 700 Tm (hello {i}) Tj ET"])))
+         for i in range(6)], "doc_id string, payload binary")
+    a = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+         for r in ingest.ingest_pdf(raw.coalesce(1)).collect()}
+    b = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+         for r in ingest.ingest_pdf(raw.repartition(16)).collect()}
+    assert a == b and len(a) == 6
