@@ -340,8 +340,31 @@ def _page_contents(data: bytes) -> list[tuple[bytes, dict]]:
         refs = [int(r) for r in _PDF_REF.findall(m.group(1))]
         parts = [s for r in refs if r in objs
                  and (s := _obj_stream(objs[r], objs)) is not None]
-        pages.append((b"\n".join(parts), _page_fonts(objs, objs[pid])))
+        pages.append((b"\n".join(parts), _page_fonts(objs, objs[pid]),
+                      _page_images(objs, objs[pid])))
     return pages
+
+
+def _page_images(objs: dict[int, bytes],
+                 page_body: bytes) -> dict[bytes, int]:
+    """XObject name → object number for the page's IMAGE XObjects —
+    a `Do` on one of these emits a media span (north_star: interleaved
+    text + media documents)."""
+    res = page_body
+    m = re.search(rb"/Resources\s+(\d+)\s+0\s+R", page_body)
+    if m and int(m.group(1)) in objs:
+        res = objs[int(m.group(1))]
+    out: dict[bytes, int] = {}
+    xm = re.search(rb"/XObject\s*(?:<<(.*?)>>|(\d+)\s+0\s+R)", res, re.S)
+    if not xm:
+        return out
+    xdict = xm.group(1)
+    if xdict is None:
+        xdict = objs.get(int(xm.group(2)), b"")
+    for name, ref in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R", xdict):
+        if re.search(rb"/Subtype\s*/Image\b", objs.get(int(ref), b"")):
+            out[b"/" + name] = int(ref)
+    return out
 
 
 def _pdf_tokens(content: bytes):
@@ -456,7 +479,8 @@ def pdf_text_runs(data: bytes) -> list[dict]:
     ``cm`` translate (e.g. HTML-to-PDF tools) otherwise collapse every
     run to y≈0 (observed on the reference's CRIF fixtures)."""
     runs: list[dict] = []
-    for page_no, (content, fonts) in enumerate(_page_contents(data), start=1):
+    for page_no, (content, fonts, images) in enumerate(_page_contents(data),
+                                                       start=1):
         stack: list = []
         x = y = 0.0
         leading = 12.0
@@ -487,7 +511,7 @@ def pdf_text_runs(data: bytes) -> list[dict]:
                 runs.append({"page": page_no, "x": float(xd),
                              "y": float(-yd), "text": text,
                              "w": float(_est_width(text, size)),
-                             "size": float(size)})
+                             "size": float(size), "media": None})
 
         for kind, val in _pdf_tokens(content):
             if kind != "op":
@@ -532,12 +556,20 @@ def pdf_text_runs(data: bytes) -> list[dict]:
                 y -= leading
                 if strs:
                     emit(strs)
+            elif op == "Do" and names and names[-1] in images:
+                # image placement: the current transform's translation
+                # is the image anchor (unit square scaled by cm)
+                runs.append({"page": page_no, "x": float(ctm[4]),
+                             "y": float(-ctm[5]), "text": "",
+                             "w": 0.0, "size": 0.0,
+                             "media": f"img:{images[names[-1]]}"})
             stack.clear()
     return runs
 
 
 _RUNS_SCHEMA = ("doc_id string, page int, x double, y double, "
-                "w double, sz double, msize double, text string")
+                "w double, sz double, msize double, text string, "
+                "media string")
 
 
 def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -545,7 +577,8 @@ def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # length — the heading rule compares each line against it
     for pdf in batches:
         out = {k: [] for k in
-               ("doc_id", "page", "x", "y", "w", "sz", "msize", "text")}
+               ("doc_id", "page", "x", "y", "w", "sz", "msize", "text",
+                "media")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             rs = pdf_text_runs(bytes(payload))
             weights: dict[float, int] = {}
@@ -562,6 +595,7 @@ def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["sz"].append(r["size"])
                 out["msize"].append(msize)
                 out["text"].append(r["text"])
+                out["media"].append(r["media"])
         yield pd.DataFrame(out)
 
 
@@ -590,6 +624,8 @@ def pdf_runs_to_spans(runs: DataFrame, band_height: float = 12.0) -> DataFrame:
     documents(doc_id, spans): y-coordinate banding + reading-order sort
     (page asc, band asc, x asc), one text span per band, page
     provenance as the media_ref of a leading media span per page."""
+    if "media" in runs.columns:   # media runs: table-free variant drops them
+        runs = runs.where("media IS NULL")
     banded = runs.withColumn(
         "band", F.floor(F.col("y") / F.lit(band_height)).cast("int"))
     lines = (banded.groupBy("doc_id", "page", "band")
@@ -716,7 +752,7 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
                       F.when(F.col("_gap") > band_gap, 1).otherwise(0))
                       .over(w0))
                   .drop("_gap"))
-    lines = (banded.groupBy("doc_id", "page", "band")
+    lines = (banded.groupBy("doc_id", "page", "band", "media")
              .agg(F.expr("array_sort(collect_list(named_struct("
                          "'x', x, 'y', y, 'w', w, 'sz', sz, 't', text)))")
                   .alias("rs"),
@@ -737,13 +773,16 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
     lines = lines.withColumn("is_head", F.expr(
         f"n_sub = 1 AND forall(rs, r -> r.sz >= msize * {heading_em}d) "
         "AND aggregate(rs, 0, (a, r) -> a + length(r.t)) <= 80"))
-    w = W.partitionBy("doc_id", "page").orderBy("band")
+    # media rows can share a band with a text line (their own group
+    # rows): order ties deterministically, media-last
+    w = W.partitionBy("doc_id", "page").orderBy(
+        "band", F.col("media").asc_nulls_first())
     lines = lines.withColumn(
         "tabish",
         (F.col("is_tab") |
          (F.coalesce(F.lag("is_tab").over(w), F.lit(False)) &
           F.coalesce(F.lead("is_tab").over(w), F.lit(False)))) &
-        ~F.col("is_head"))
+        ~F.col("is_head") & F.col("media").isNull())
     lines = lines.withColumn(
         "block", F.sum(F.when(~F.col("tabish"), 1).otherwise(0)).over(w))
 
@@ -759,9 +798,11 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
     # stays SMALL (scalars, one line's runs, per-line x-start sets):
     # collecting each block's full run array per row was measured 2x
     # slower than even the triple-execution plan.
-    wb = (W.partitionBy("doc_id", "page", "block").orderBy("band")
+    wb = (W.partitionBy("doc_id", "page", "block")
+          .orderBy("band", F.col("media").asc_nulls_first())
           .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-    wbo = (W.partitionBy("doc_id", "page", "block").orderBy("band")
+    wbo = (W.partitionBy("doc_id", "page", "block")
+           .orderBy("band", F.col("media").asc_nulls_first())
            .rowsBetween(W.unboundedPreceding, W.currentRow))
     lines = (lines
              # block partitions include the leading NON-tabish line
@@ -859,17 +900,19 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
     # no second subtree over the parse
     allspans = (lines
                 .withColumn("kind", F.expr(
-                    "CASE WHEN qual AND tabish THEN "
+                    "CASE WHEN media IS NOT NULL THEN 'media' "
+                    "WHEN qual AND tabish THEN "
                     "  CASE WHEN rn = 1 THEN 'thdr' ELSE 'trow' END "
                     "WHEN is_head THEN 'heading' ELSE 'text' END"))
                 .select("doc_id", "page", "band",
-                        F.col("block").alias("blk"), "kind",
-                        F.expr("CASE WHEN kind = 'thdr' "
+                        F.col("block").alias("blk"), "kind", "media",
+                        F.expr("CASE WHEN kind = 'media' THEN '' "
+                               "WHEN kind = 'thdr' "
                                "THEN coalesce(hdr_txt, '') "
                                f"WHEN kind = 'trow' "
                                f"THEN array_join({row_e}, ' | ') "
                                f"ELSE {line_text} END").alias("text"))
-                .where("kind IN ('thdr', 'trow') OR text != ''"))
+                .where("kind IN ('thdr', 'trow', 'media') OR text != ''"))
     span_t = "struct<kind:string,text:string,media_ref:string,offset:int>"
     state_t = f"struct<acc:array<{span_t}>,tpage:int,ttext:string>"
     tspan = ("named_struct('kind', 'table', 'text', s.ttext, "
@@ -881,7 +924,8 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
         aggregate(
           array_sort(collect_list(named_struct(
             'page', page, 'band', band, 'blk', blk,
-            'kind', kind, 'text', text))),
+            'kind', kind, 'text', text,
+            'mref', coalesce(media, concat('page:', cast(page AS string)))))),
           cast(named_struct('acc', array(), 'tpage', NULL, 'ttext', NULL)
                AS {state_t}),
           (s, r) -> CASE
@@ -893,12 +937,12 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
             ELSE named_struct(
               'acc', concat({flushed}, array(named_struct(
                 'kind', r.kind, 'text', r.text,
-                'media_ref', concat('page:', cast(r.page AS string)),
+                'media_ref', r.mref,
                 'offset', 0))),
               'tpage', CAST(NULL AS int), 'ttext', CAST(NULL AS string))
           END,
           s -> transform(
-            filter({flushed}, r -> r.text != ''),
+            filter({flushed}, r -> r.kind = 'media' OR r.text != ''),
             (r, i) -> named_struct('kind', r.kind, 'text', r.text,
                                    'media_ref', r.media_ref,
                                    'offset', i)))

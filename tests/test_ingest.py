@@ -201,3 +201,42 @@ def test_ingest_pdf_partitioning_invariance(spark):
     b = {r["doc_id"]: [tuple(s) for s in r["spans"]]
          for r in ingest.ingest_pdf(raw.repartition(16)).collect()}
     assert a == b and len(a) == 6
+
+
+def _image_pdf() -> bytes:
+    """One page: a text line plus an Image XObject placed with cm+Do."""
+    import zlib
+    content = (b"BT 1 0 0 1 50 700 Tm (above the image) Tj ET\n"
+               b"q 120 0 0 60 200 600 cm /Im1 Do Q\n"
+               b"BT 1 0 0 1 50 500 Tm (below the image) Tj ET")
+    z = zlib.compress(content)
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /XObject << /Im1 5 0 R >> >> >>",
+            b"<< /Filter /FlateDecode /Length " + str(len(z)).encode()
+            + b" >>\nstream\n" + z + b"\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 "
+            b">>\nstream\n\x00\x01\x02\x03\nendstream"]
+    out = [b"%PDF-1.4"]
+    for n, body in enumerate(objs, start=1):
+        out.append(f"{n} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def test_pdf_image_xobject_media_span(spark):
+    """An Image XObject placed with cm+Do becomes an ordered 'media'
+    span between the surrounding text (north_star: interleaved
+    text + media from raw bytes)."""
+    raw = spark.createDataFrame(
+        [("crif-img", bytearray(_image_pdf()))],
+        "doc_id string, payload binary")
+    spans = [s.asDict() for s in
+             ingest.ingest_pdf(raw).collect()[0]["spans"]]
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["text", "media", "text"]
+    assert spans[0]["text"] == "above the image"
+    assert spans[1]["media_ref"] == "img:5" and spans[1]["text"] == ""
+    assert spans[2]["text"] == "below the image"
