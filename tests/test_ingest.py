@@ -240,3 +240,35 @@ def test_pdf_image_xobject_media_span(spark):
     assert spans[0]["text"] == "above the image"
     assert spans[1]["media_ref"] == "img:5" and spans[1]["text"] == ""
     assert spans[2]["text"] == "below the image"
+
+
+def test_runs_reconstruction_fuzz(spark):
+    """Random (x, y, size) run layouts must reconstruct without errors
+    into densely-offset spans with the invariants of the span model
+    (non-empty text except media, page-monotonic order)."""
+    import random
+
+    rows = []
+    for seed in range(4):
+        rng = random.Random(seed)
+        for i in range(rng.randint(5, 120)):
+            page = rng.randint(1, 3)
+            sz = rng.choice([4.0, 5.0, 7.0, 9.0])
+            txt = " ".join(
+                rng.choice(["alpha", "42", "Total:", "9,99,999", "x"])
+                for _ in range(rng.randint(1, 4)))
+            rows.append((f"fz-{seed}", page, rng.uniform(0, 500),
+                         rng.uniform(0, 800),
+                         len(txt) * 0.5 * sz, sz, 5.0, txt, None))
+    runs = spark.createDataFrame(rows, ingest._RUNS_SCHEMA)
+    docs = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+            for r in ingest.pdf_runs_to_documents(runs).collect()}
+    assert len(docs) == 4
+    for spans in docs.values():
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        pages = [int(s["media_ref"].split(":")[1]) for s in spans]
+        assert pages == sorted(pages)
+        for s in spans:
+            assert s["kind"] in ("text", "heading", "table", "media")
+            if s["kind"] != "media":
+                assert s["text"] != ""
