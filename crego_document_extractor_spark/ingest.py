@@ -225,8 +225,11 @@ def _obj_stream(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | No
     ms = re.search(rb"stream\r?\n", body)
     if not ms:
         return None
-    raw = None
-    lm = re.search(rb"/Length\s+(\d+)(\s+0\s+R)?", body[:ms.start()])
+    candidates: list[bytes] = []
+    # Indirect /Length refs may carry ANY generation number ("5 1 R"),
+    # not just 0 — matching only " 0 R" misreads the object number as
+    # a direct length and slices garbage.
+    lm = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", body[:ms.start()])
     if lm:
         if lm.group(2):
             ref = objs.get(int(lm.group(1))) if objs else None
@@ -235,22 +238,31 @@ def _obj_stream(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | No
         else:
             length = int(lm.group(1))
         if length is not None and ms.end() + length <= len(body):
-            raw = body[ms.end():ms.end() + length]
-    if raw is None:
-        m = _PDF_STREAM.search(body)
-        if not m:
-            return None
-        raw = m.group(1)
+            candidates.append(body[ms.end():ms.end() + length])
+    m = _PDF_STREAM.search(body)
+    if m and m.group(1) not in candidates:
+        candidates.append(m.group(1))
+    if not candidates:
+        return None
     if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode", body):
         import zlib
-        try:
-            return zlib.decompress(raw)
-        except zlib.error:
+        # A wrong /Length (bad ref resolution, corrupt header) fails
+        # inflate; fall back to the regex extent before giving up.
+        # Strict pass first: the lenient decompressobj path returns
+        # truncated output (no error) on a short garbage slice, which
+        # would mask a later candidate that inflates cleanly.
+        for raw in candidates:
+            try:
+                return zlib.decompress(raw)
+            except zlib.error:
+                pass
+        for raw in candidates:
             try:  # tolerate over-slice (trailing garbage after deflate)
                 return zlib.decompressobj().decompress(raw)
             except zlib.error:
-                return None
-    return raw
+                continue
+        return None
+    return candidates[0]
 
 
 def _parse_cmap(text: bytes) -> tuple[int, dict[int, str]]:
@@ -522,7 +534,11 @@ def pdf_text_runs(data: bytes) -> list[dict]:
             strs = [v for k, v in stack if k == "str"]
             names = [v for k, v in stack if k == "name"]
             if op == "BT":
+                # BT resets the text matrix to identity (PDF 32000-1
+                # §9.4.1) — position AND scale; a Tm vertical scale
+                # must not leak into later Td-only-positioned blocks.
                 x = y = 0.0
+                tmscale = 1.0
             elif op == "q":
                 gstack.append(list(ctm))
             elif op == "Q":

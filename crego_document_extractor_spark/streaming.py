@@ -130,7 +130,8 @@ def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
 
     def dedup_bloom_fn(key, pdfs, state):
         bits = bytearray(state.get[0]) if state.exists else bytearray(
-            sketch_bits // 8)
+            (sketch_bits + 7) // 8)  # round UP: bits not divisible by
+        # 8 must still allocate the byte holding the last indexes
         out = []
         for pdf in pdfs:
             keep = []

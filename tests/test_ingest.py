@@ -272,3 +272,62 @@ def test_runs_reconstruction_fuzz(spark):
             assert s["kind"] in ("text", "heading", "table", "media")
             if s["kind"] != "media":
                 assert s["text"] != ""
+
+
+def _length_variant_pdf(length_clause: bytes, extra_objs: list[bytes] = ()):
+    """One-page PDF whose content stream declares `length_clause` as
+    its /Length entry; extra_objs are appended verbatim (e.g. the
+    indirect length object)."""
+    import zlib
+
+    content = b"BT 1 0 0 1 50 700 Tm (length probe works) Tj ET"
+    z = zlib.compress(content)
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj",
+        b"4 0 obj\n<< /Filter /FlateDecode /Length " + length_clause
+        + b" >>\nstream\n" + z + b"\nendstream\nendobj",
+        *extra_objs,
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\n%%EOF", len(z)
+
+
+def test_indirect_length_nonzero_generation():
+    """ADVICE r4 (medium): '/Length 5 1 R' must resolve the indirect
+    ref (any generation), not misparse as direct length 5."""
+    import zlib
+    content = b"BT 1 0 0 1 50 700 Tm (length probe works) Tj ET"
+    zlen = len(zlib.compress(content))
+    pdf, _ = _length_variant_pdf(
+        b"5 1 R", [b"5 1 obj\n" + str(zlen).encode() + b"\nendobj"])
+    runs = ingest.pdf_text_runs(pdf)
+    assert [r["text"] for r in runs] == ["length probe works"]
+
+
+def test_wrong_direct_length_falls_back_to_regex_extent():
+    """A corrupt direct /Length that slices un-inflatable bytes must
+    fall back to the stream/endstream regex extent."""
+    pdf, _ = _length_variant_pdf(b"5")  # 5 bytes of a deflate prefix
+    runs = ingest.pdf_text_runs(pdf)
+    assert [r["text"] for r in runs] == ["length probe works"]
+
+
+def test_unresolvable_indirect_length_falls_back():
+    """Indirect /Length pointing at a missing object → regex extent."""
+    pdf, _ = _length_variant_pdf(b"99 0 R")
+    runs = ingest.pdf_text_runs(pdf)
+    assert [r["text"] for r in runs] == ["length probe works"]
+
+
+def test_bt_resets_text_matrix_scale():
+    """ADVICE r4 (low): BT resets the text matrix to identity, so a
+    Tm vertical scale from one block must not inflate the device-space
+    size of a later Td-only-positioned block."""
+    pdf = _mini_pdf([
+        "BT /F1 12 Tf 2 0 0 2 50 350 Tm (scaled heading) Tj ET\n"
+        "BT 50 650 Td (plain body line) Tj ET"
+    ])
+    runs = {r["text"]: r for r in ingest.pdf_text_runs(pdf)}
+    assert runs["scaled heading"]["size"] == 24.0
+    assert runs["plain body line"]["size"] == 12.0

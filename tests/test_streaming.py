@@ -156,3 +156,22 @@ def test_stream_dedup_bloom_sketch(spark, tmp_path):
     got2 = spark.read.parquet(f"{out_dir}/unique")
     assert got2.count() == 50
     assert got2.select("content_key").distinct().count() == 50
+
+
+def test_stream_dedup_bloom_odd_sketch_bits(spark, tmp_path):
+    """ADVICE r4 (low): sketch_bits not divisible by 8 must round the
+    byte allocation UP — indexes landing in the final partial byte
+    previously raised IndexError."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    corpus.write_corpus(f"{in_dir}/p1.parquet", 10, seed=11, big_doc_every=0)
+    # 13 bits: indexes 8-12 live in the second (partial) byte and are
+    # hit with near-certainty by 10 docs x 4 indexes; the sketch
+    # saturates (false positives expected), so assert crash-freedom
+    # and plausible output, not exact counts.
+    q = streaming.stream_dedup(spark, in_dir, str(tmp_path / "out"),
+                               str(tmp_path / "ck"), buckets=2,
+                               state="bloom", sketch_bits=13)
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out" / "unique"))
+    assert 1 <= got.count() <= 10
