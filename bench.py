@@ -39,8 +39,25 @@ def ensure_corpus() -> str:
     return CORPUS
 
 
+def wait_for_quiet(thresh: float, budget_sec: float) -> float:
+    """Shared-host load gate (r4 VERDICT #1): if the 1-min loadavg is
+    above `thresh` when the bench starts, poll (bounded by
+    `budget_sec`) for it to drop BEFORE starting Spark — the old
+    behavior ran FEWER flagship samples under load, exactly when
+    variance is highest, and recorded a phantom 70% regression in
+    BENCH_r04.json.  Returns seconds actually waited."""
+    t0 = time.monotonic()
+    while (os.getloadavg()[0] >= thresh
+           and time.monotonic() - t0 < budget_sec):
+        time.sleep(5)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
     global LOAD0
+    quiet_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_THRESH", "3"))
+    waited = wait_for_quiet(
+        quiet_thresh, float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "300")))
     LOAD0 = list(os.getloadavg())
     from crego_document_extractor_spark.session import get_spark
     from crego_document_extractor_spark import pipeline
@@ -93,13 +110,13 @@ def main() -> None:
         from crego_document_extractor_spark.extract.crif import extract_all
         extract_all(parse_documents(docs_df), engine="sql").count()
 
-    # 5 runs for the single headline number when the host is quiet
-    # (3 runs on a noisy shared host were a 1.7x spread in round 3);
-    # the per-query set keeps `runs` to bound total wall time
-    # gate on the PRE-WARMUP load (LOAD0): by this point our own
-    # warm-up has pushed the 1-min average over any threshold
-    flagship_runs = 5 if LOAD0[0] < float(
-        os.environ.get("SPARK_GRAFT_QUIET_THRESH", "3")) else runs
+    # ≥5 runs for the single headline number, and MORE (7) — never
+    # fewer — when the host is still loaded after the quiet wait:
+    # under noise, extra samples are what lets min() find the clean
+    # wall (3 runs under load recorded a phantom 70% regression in
+    # r4).  Gate on the PRE-WARMUP load (LOAD0): by this point our
+    # own warm-up has pushed the 1-min average over any threshold.
+    flagship_runs = 5 if LOAD0[0] < quiet_thresh else max(7, runs)
     timed("flagship_extraction", flagship, n_runs=flagship_runs)
     timed("clean_spans_pass", spans_pass)
     # the pure-JVM relational engine, timed alongside (informational —
@@ -137,6 +154,14 @@ def main() -> None:
         "fastest_engine": ("default" if fastest_sec ==
                            timings["flagship_extraction"] else "sql"),
         "fastest_extraction_docs_per_sec": round(N_DOCS / fastest_sec, 2),
+        # median alongside min: a polluted min is impossible, a
+        # polluted median reveals residual load — together they bound
+        # the true wall from both sides
+        "flagship_median": round(sorted(
+            all_runs["flagship_extraction"])[
+                len(all_runs["flagship_extraction"]) // 2], 3),
+        "flagship_n_runs": flagship_runs,
+        "waited_for_quiet_sec": waited,
         "parallelism": CPUS,
         # shared-host diagnostics: this machine sees external tenant
         # load (loadavg spikes with zero in-container CPU) that can

@@ -493,93 +493,103 @@ def pdf_text_runs(data: bytes) -> list[dict]:
     runs: list[dict] = []
     for page_no, (content, fonts, images) in enumerate(_page_contents(data),
                                                        start=1):
-        stack: list = []
-        x = y = 0.0
-        leading = 12.0
-        ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # a b c d e f
-        gstack: list[list[float]] = []
-        font: tuple[int, dict] | None = None
-        fsize = 12.0
-        tmscale = 1.0
+        runs += _content_runs(page_no, content, fonts, images)
+    return runs
 
-        def decode(parts: list[bytes]) -> str:
-            if font is None:
-                return "".join(p.decode("latin-1") for p in parts)
-            codelen, cmap = font
-            out = []
-            for p in parts:
-                for i in range(0, len(p) - codelen + 1, codelen):
-                    out.append(cmap.get(
-                        int.from_bytes(p[i:i + codelen], "big"), ""))
-            return "".join(out)
 
-        def emit(parts: list[bytes]) -> None:
-            text = decode(parts)
-            if text.strip():
-                a, b, c, d, e, f = ctm
-                xd = a * x + c * y + e
-                yd = b * x + d * y + f
-                size = fsize * tmscale * abs(d)
-                runs.append({"page": page_no, "x": float(xd),
-                             "y": float(-yd), "text": text,
-                             "w": float(_est_width(text, size)),
-                             "size": float(size), "media": None})
+def _content_runs(page_no: int, content: bytes, fonts: dict,
+                  images: dict) -> list[dict]:
+    """Token-loop interpretation of ONE page's content stream — the
+    per-page unit ingest_pdf's split_pages path fans out across tasks
+    (a 10k-page PDF is otherwise a single straggler task)."""
+    runs: list[dict] = []
+    stack: list = []
+    x = y = 0.0
+    leading = 12.0
+    ctm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]  # a b c d e f
+    gstack: list[list[float]] = []
+    font: tuple[int, dict] | None = None
+    fsize = 12.0
+    tmscale = 1.0
 
-        for kind, val in _pdf_tokens(content):
-            if kind != "op":
-                stack.append((kind, val))
-                continue
-            op = val
-            nums = [v for k, v in stack if k == "num"]
-            strs = [v for k, v in stack if k == "str"]
-            names = [v for k, v in stack if k == "name"]
-            if op == "BT":
-                # BT resets the text matrix to identity (PDF 32000-1
-                # §9.4.1) — position AND scale; a Tm vertical scale
-                # must not leak into later Td-only-positioned blocks.
-                x = y = 0.0
-                tmscale = 1.0
-            elif op == "q":
-                gstack.append(list(ctm))
-            elif op == "Q":
-                if gstack:
-                    ctm = gstack.pop()
-            elif op == "cm" and len(nums) >= 6:
-                a1, b1, c1, d1, e1, f1 = nums[-6:]
-                a2, b2, c2, d2, e2, f2 = ctm
-                ctm = [a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
-                       c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
-                       e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2]
-            elif op == "Tf" and names:
-                font = fonts.get(names[-1])
-                if nums:
-                    fsize = nums[-1] or fsize
-            elif op in ("Td", "TD") and len(nums) >= 2:
-                x += nums[-2]
-                y += nums[-1]
-                if op == "TD":
-                    leading = -nums[-1] or leading
-            elif op == "Tm" and len(nums) >= 6:
-                x, y = nums[-2], nums[-1]
-                tmscale = abs(nums[-3]) or 1.0
-            elif op == "TL" and nums:
-                leading = nums[-1]
-            elif op == "T*":
-                y -= leading
-            elif op in ("Tj", "TJ") and strs:
+    def decode(parts: list[bytes]) -> str:
+        if font is None:
+            return "".join(p.decode("latin-1") for p in parts)
+        codelen, cmap = font
+        out = []
+        for p in parts:
+            for i in range(0, len(p) - codelen + 1, codelen):
+                out.append(cmap.get(
+                    int.from_bytes(p[i:i + codelen], "big"), ""))
+        return "".join(out)
+
+    def emit(parts: list[bytes]) -> None:
+        text = decode(parts)
+        if text.strip():
+            a, b, c, d, e, f = ctm
+            xd = a * x + c * y + e
+            yd = b * x + d * y + f
+            size = fsize * tmscale * abs(d)
+            runs.append({"page": page_no, "x": float(xd),
+                         "y": float(-yd), "text": text,
+                         "w": float(_est_width(text, size)),
+                         "size": float(size), "media": None})
+
+    for kind, val in _pdf_tokens(content):
+        if kind != "op":
+            stack.append((kind, val))
+            continue
+        op = val
+        nums = [v for k, v in stack if k == "num"]
+        strs = [v for k, v in stack if k == "str"]
+        names = [v for k, v in stack if k == "name"]
+        if op == "BT":
+            # BT resets the text matrix to identity (PDF 32000-1
+            # §9.4.1) — position AND scale; a Tm vertical scale
+            # must not leak into later Td-only-positioned blocks.
+            x = y = 0.0
+            tmscale = 1.0
+        elif op == "q":
+            gstack.append(list(ctm))
+        elif op == "Q":
+            if gstack:
+                ctm = gstack.pop()
+        elif op == "cm" and len(nums) >= 6:
+            a1, b1, c1, d1, e1, f1 = nums[-6:]
+            a2, b2, c2, d2, e2, f2 = ctm
+            ctm = [a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+                   c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+                   e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2]
+        elif op == "Tf" and names:
+            font = fonts.get(names[-1])
+            if nums:
+                fsize = nums[-1] or fsize
+        elif op in ("Td", "TD") and len(nums) >= 2:
+            x += nums[-2]
+            y += nums[-1]
+            if op == "TD":
+                leading = -nums[-1] or leading
+        elif op == "Tm" and len(nums) >= 6:
+            x, y = nums[-2], nums[-1]
+            tmscale = abs(nums[-3]) or 1.0
+        elif op == "TL" and nums:
+            leading = nums[-1]
+        elif op == "T*":
+            y -= leading
+        elif op in ("Tj", "TJ") and strs:
+            emit(strs)
+        elif op in ("'", '"'):
+            y -= leading
+            if strs:
                 emit(strs)
-            elif op in ("'", '"'):
-                y -= leading
-                if strs:
-                    emit(strs)
-            elif op == "Do" and names and names[-1] in images:
-                # image placement: the current transform's translation
-                # is the image anchor (unit square scaled by cm)
-                runs.append({"page": page_no, "x": float(ctm[4]),
-                             "y": float(-ctm[5]), "text": "",
-                             "w": 0.0, "size": 0.0,
-                             "media": f"img:{images[names[-1]]}"})
-            stack.clear()
+        elif op == "Do" and names and names[-1] in images:
+            # image placement: the current transform's translation
+            # is the image anchor (unit square scaled by cm)
+            runs.append({"page": page_no, "x": float(ctm[4]),
+                         "y": float(-ctm[5]), "text": "",
+                         "w": 0.0, "size": 0.0,
+                         "media": f"img:{images[names[-1]]}"})
+        stack.clear()
     return runs
 
 
@@ -615,16 +625,111 @@ def _pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+_PAGES_SCHEMA = ("doc_id string, page int, content binary, "
+                 "fonts binary, images binary")
+
+
+def _pdf_split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Document bytes → one row PER PAGE (content stream + pickled
+    font CMaps / image XObject maps).  Cheap relative to the token
+    loop: object scan + stream inflate only — the expensive
+    interpretation fans out across tasks in `_pdf_page_batches`."""
+    import pickle
+
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "page", "content", "fonts", "images")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for page_no, (content, fonts, images) in enumerate(
+                    _page_contents(bytes(payload)), start=1):
+                out["doc_id"].append(doc_id)
+                out["page"].append(page_no)
+                out["content"].append(content)
+                out["fonts"].append(pickle.dumps(fonts))
+                out["images"].append(pickle.dumps(images))
+        yield pd.DataFrame(out)
+
+
+_PAGE_RUNS_SCHEMA = ("doc_id string, page int, x double, y double, "
+                     "w double, sz double, szk double, text string, "
+                     "media string")
+
+
+def _pdf_page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One page-content row → its text runs.  `szk` is the PYTHON
+    round(size, 1) so the relational modal-size aggregation downstream
+    reproduces `_pdf_batches`'s weights dict exactly (Spark's round()
+    is HALF_UP; Python's is banker's — they differ on .x5 sizes)."""
+    import pickle
+
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "page", "x", "y", "w", "sz", "szk", "text",
+                "media")}
+        for doc_id, page, content, fonts, images in zip(
+                pdf["doc_id"], pdf["page"], pdf["content"],
+                pdf["fonts"], pdf["images"]):
+            for r in _content_runs(int(page), bytes(content),
+                                   pickle.loads(bytes(fonts)),
+                                   pickle.loads(bytes(images))):
+                out["doc_id"].append(doc_id)
+                out["page"].append(r["page"])
+                out["x"].append(r["x"])
+                out["y"].append(r["y"])
+                out["w"].append(r["w"])
+                out["sz"].append(r["size"])
+                out["szk"].append(round(r["size"], 1))
+                out["text"].append(r["text"])
+                out["media"].append(r["media"])
+        yield pd.DataFrame(out)
+
+
+def pdf_runs_with_modal_size(runs: DataFrame) -> DataFrame:
+    """Attach the per-DOCUMENT modal font size (text-length weighted,
+    ties → larger size) to per-page runs — the relational twin of the
+    Python weights dict in `_pdf_batches`.  Media runs participate
+    with weight 0, matching the Python path."""
+    wsz = Window.partitionBy("doc_id", "szk")
+    wdoc = Window.partitionBy("doc_id")
+    return (runs
+            .withColumn("_wt", F.sum(F.length("text")).over(wsz))
+            .withColumn("msize", F.max(
+                F.struct(F.col("_wt"), F.col("szk"))).over(wdoc)["szk"])
+            .drop("_wt", "szk"))
+
+
 def ingest_pdf(raw: DataFrame, band_height: float = 12.0,
-               tables: bool = True) -> DataFrame:
+               tables: bool = True, split_pages: bool = False,
+               page_partitions: int | None = None) -> DataFrame:
     """raw(doc_id string, payload binary) → documents(doc_id, spans):
     byte-level text extraction (Arrow-batched) + the relational y-band
     reading-order merge — the S1→S2 loop on real PDF bytes.  With
     ``tables`` (default) x-position column banding additionally
     reconstructs table spans (pdf_runs_to_documents), which is what
-    lets the GSTR/CRIF signature extractors run on real fixture PDFs."""
-    runs = raw.select("doc_id", "payload").mapInPandas(
-        _pdf_batches, schema=_RUNS_SCHEMA)
+    lets the GSTR/CRIF signature extractors run on real fixture PDFs.
+
+    ``split_pages=True`` routes through a two-stage plan: a cheap
+    per-document page-splitting MapInPandas, a repartition on
+    (doc_id, page), then the expensive token-loop MapInPandas on
+    per-PAGE rows — so one 10k-page PDF fans out across the cluster
+    instead of serializing a single straggler task (r4 VERDICT #3).
+    The modal-font-size column is recovered relationally
+    (`pdf_runs_with_modal_size`), and the reconstruction is already
+    partitioning-invariant (tests/test_ingest.py), so the output is
+    byte-identical to the default path.  Use for few-huge-documents
+    inputs; the default single-stage path avoids the extra shuffle
+    for ordinary many-document corpora."""
+    if split_pages:
+        pages = raw.select("doc_id", "payload").mapInPandas(
+            _pdf_split_batches, schema=_PAGES_SCHEMA)
+        n_parts = page_partitions or raw.sparkSession.sparkContext.defaultParallelism * 2
+        page_runs = (pages.repartition(n_parts, "doc_id", "page")
+                     .mapInPandas(_pdf_page_batches,
+                                  schema=_PAGE_RUNS_SCHEMA))
+        runs = pdf_runs_with_modal_size(page_runs)
+    else:
+        runs = raw.select("doc_id", "payload").mapInPandas(
+            _pdf_batches, schema=_RUNS_SCHEMA)
     if tables:
         # gap-clustered lines + anchor-aware cells (the defaults)
         return pdf_runs_to_documents(runs)

@@ -331,3 +331,45 @@ def test_bt_resets_text_matrix_scale():
     runs = {r["text"]: r for r in ingest.pdf_text_runs(pdf)}
     assert runs["scaled heading"]["size"] == 24.0
     assert runs["plain body line"]["size"] == 12.0
+
+
+def test_split_pages_parity_and_fanout(spark):
+    """r4 VERDICT #3: a giant PDF ingested via split_pages=True must
+    fan out across many tasks AND produce byte-identical spans vs the
+    single-task per-document path."""
+    import pyspark.sql.functions as F
+
+    pages = []
+    for p in range(300):
+        rows = "\n".join(
+            f"BT 1 0 0 1 10 {700 - 14 * r} Tm "
+            f"(cell{p}a{r})  Tj 120 0 Td (cell{p}b{r}) Tj 120 0 Td "
+            f"(cell{p}c{r}) Tj ET"
+            for r in range(3))
+        pages.append(
+            f"BT /F1 12 Tf 2 0 0 2 10 380 Tm (Heading {p}) Tj ET\n"
+            f"BT 1 0 0 1 10 730 Tm (Body line on page {p}) Tj ET\n"
+            + rows)
+    pdf = _mini_pdf(pages)
+    raw = spark.createDataFrame(
+        [("crif-giant", bytearray(pdf)),
+         ("crif-tiny", bytearray(_mini_pdf(["BT 1 0 0 1 10 700 Tm (small doc) Tj ET"])))],
+        "doc_id string, payload binary")
+
+    def spans_of(df):
+        return {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                for r in df.collect()}
+
+    base = spans_of(ingest.ingest_pdf(raw))
+    split = spans_of(ingest.ingest_pdf(raw, split_pages=True))
+    assert split == base
+    assert len(base["crif-giant"]) > 300
+
+    # fan-out: the 300 per-page rows spread across >= 8 tasks
+    page_rows = raw.mapInPandas(ingest._pdf_split_batches,
+                                schema=ingest._PAGES_SCHEMA)
+    n_parts = (page_rows.repartition(64, "doc_id", "page")
+               .select(F.spark_partition_id().alias("p"))
+               .distinct().count())
+    assert page_rows.count() == 301
+    assert n_parts >= 8
