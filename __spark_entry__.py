@@ -452,6 +452,33 @@ def _dedup_safety_net(d):
     return a.join(b, F.col("d1") < F.col("d2"))
 
 
+def _dedup_slice(spark, sf):
+    """SIZE-CAPPED sampled slice (r4 ADVICE medium): doc_id % k = 0
+    with k = max(10, ceil(n/60)) — ≈60 docs at ANY scale factor, so
+    the exhaustive safety net and the token-join verify stay O(60²)
+    instead of growing O((n/10)²) with sf.  The oracle derives the
+    SAME k from count(*) (see _DEDUP_E2E_ORACLE)."""
+    d_all = _t(spark, sf, "documents")
+    k = max(10, -(-d_all.count() // 60))
+    return d_all.where(f"doc_id % {k} = 0").select("doc_id", "text")
+
+
+def _with_lsh_floor(ver, lsh):
+    """Append a `lsh_nonvacuous` boolean to every verified pair: TRUE
+    iff the LSH candidate generator recovered at least one verified
+    pair (or there are none to recover).  The oracle pins the column
+    to literal TRUE, so a TOTAL LSH breakage — zero candidate pairs
+    while true near-dups exist, previously masked by the safety net —
+    now flips the value hash (r4 ADVICE medium: non-vacuous floor)."""
+    marked = ver.join(lsh.select("d1", "d2").distinct()
+                      .withColumn("_lsh", F.lit(1)),
+                      ["d1", "d2"], "left")
+    flag = marked.agg(
+        ((F.count("*") == F.lit(0)) | F.max("_lsh").isNotNull())
+        .alias("lsh_nonvacuous"))
+    return ver.crossJoin(flag)
+
+
 def _q_dedup_minhash_e2e(spark, sf):
     """Dedup end-to-end (MinHash LSH candidates ∪ slice safety net →
     exact Jaccard verify): the OUTPUT is engine-independent — exactly
@@ -460,14 +487,15 @@ def _q_dedup_minhash_e2e(spark, sf):
     _dedup_safety_net)."""
     from crego_document_extractor_spark.ops.dedup import (
         minhash_candidate_pairs, ngram_jaccard_pairs)
-    d = _t(spark, sf, "documents").where("doc_id % 10 = 0").select("doc_id", "text")
+    d = _dedup_slice(spark, sf)
     # shingle_k=1: token-set MinHash, so the candidate metric IS the
     # verify metric (the corpus' near-dups share token sets, not
     # 3-gram order)
-    cand = (minhash_candidate_pairs(d, n_hashes=16, bands=8, shingle_k=1)
-            .unionByName(_dedup_safety_net(d)))
-    return (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
-            .select("d1", "d2", F.round("jaccard", 4).alias("jaccard")))
+    lsh = minhash_candidate_pairs(d, n_hashes=16, bands=8, shingle_k=1)
+    cand = lsh.unionByName(_dedup_safety_net(d))
+    ver = (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+           .select("d1", "d2", F.round("jaccard", 4).alias("jaccard")))
+    return _with_lsh_floor(ver, lsh)
 
 
 def _q_dedup_simhash_e2e(spark, sf):
@@ -478,16 +506,16 @@ def _q_dedup_simhash_e2e(spark, sf):
     _dedup_safety_net for why the net makes the check structural)."""
     from crego_document_extractor_spark.ops.dedup import (
         simhash_near_duplicates, ngram_jaccard_pairs)
-    d = _t(spark, sf, "documents").where("doc_id % 10 = 0").select("doc_id", "text")
+    d = _dedup_slice(spark, sf)
     # distinct-token text aligns the SimHash metric with the verify
     # metric (token-SET jaccard); banding guarantees recall to h<=11
     ds = d.select("doc_id", F.expr(
         "array_join(array_distinct(split(text, ' ')), ' ')").alias("text"))
-    cand = (simhash_near_duplicates(ds, max_hamming=11, n_bands=12)
-            .select("d1", "d2")
-            .unionByName(_dedup_safety_net(d)))
-    return (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
-            .select("d1", "d2", F.round("jaccard", 4).alias("jaccard")))
+    lsh = simhash_near_duplicates(ds, max_hamming=11, n_bands=12).select("d1", "d2")
+    cand = lsh.unionByName(_dedup_safety_net(d))
+    ver = (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+           .select("d1", "d2", F.round("jaccard", 4).alias("jaccard")))
+    return _with_lsh_floor(ver, lsh)
 
 
 # --- table-signature operators on inline nested tables ---------------------
@@ -1356,15 +1384,18 @@ def oracle_sql() -> dict[str, str]:
 #: sampled slice with exact token-set Jaccard >= 0.8 (both the MinHash
 #: and the SimHash pipelines must land exactly here — recall proof)
 _DEDUP_E2E_ORACLE = """
-    WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-               FROM documents WHERE doc_id % 10 = 0),
+    WITH k AS (SELECT greatest(10, CAST(ceil(count(*) / 60.0) AS BIGINT)) AS k
+               FROM documents),
+         d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents WHERE doc_id % (SELECT k FROM k) = 0),
          t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
          sizes AS (SELECT doc_id, len(toks) AS n FROM d),
          pairs AS (
            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
            FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
-    SELECT d1, d2, round(common / (s1.n + s2.n - common), 4) AS jaccard
+    SELECT d1, d2, round(common / (s1.n + s2.n - common), 4) AS jaccard,
+           TRUE AS lsh_nonvacuous
     FROM pairs
     JOIN sizes s1 ON s1.doc_id = d1
     JOIN sizes s2 ON s2.doc_id = d2

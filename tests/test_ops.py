@@ -210,3 +210,24 @@ def test_embedding_near_duplicates_finds_planted_dups(spark):
         va, vb = np.array(vecs[a]), np.array(vecs[b])
         cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert cos >= 0.95 and abs(cos - s) < 1e-5
+
+
+def test_lsh_floor_detects_total_breakage(spark):
+    """r4 ADVICE (medium): the dedup-e2e safety net must not mask a
+    dead LSH stage — `lsh_nonvacuous` goes FALSE when verified pairs
+    exist but the candidate generator returned none of them."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    ver = spark.createDataFrame([(1, 2, 0.9), (3, 4, 0.85)],
+                                "d1 int, d2 int, jaccard double")
+    empty = ver.where("d1 < 0").select("d1", "d2")
+    out = E._with_lsh_floor(ver, empty).collect()
+    assert len(out) == 2 and all(r["lsh_nonvacuous"] is False for r in out)
+
+    partial = spark.createDataFrame([(3, 4)], "d1 int, d2 int")
+    out = E._with_lsh_floor(ver, partial).collect()
+    assert all(r["lsh_nonvacuous"] is True for r in out)
+
+    # nothing to recover -> vacuously fine AND empty either way
+    assert E._with_lsh_floor(ver.where("d1 < 0"), empty).count() == 0
