@@ -78,7 +78,7 @@ def main() -> None:
     docs_df = (pipeline.ensure_parallelism(spark.read.parquet(path),
                                            min_partitions=CPUS * 4).persist())
     docs_df.count()
-    pipeline.extract_parameters(parse_documents(docs_df.limit(64))).count()
+    pipeline.extract_from_raw(docs_df.limit(64), n_docs=N_DOCS).count()
 
     all_runs: dict[str, list[float]] = {}
 
@@ -99,8 +99,9 @@ def main() -> None:
     # the flagship is the scaling-bench job: one lineage, parse →
     # extract → results count (clean_spans timed separately below)
     def flagship():
-        n_extracted["rows"] = pipeline.extract_parameters(
-            parse_documents(docs_df)).count()
+        # extract_from_raw: fused parse+retrieval Python stage for the
+        # udf engine (one Arrow round-trip), plain parse for sql
+        n_extracted["rows"] = pipeline.extract_from_raw(docs_df, n_docs=N_DOCS).count()
 
     def spans_pass():
         n_extracted["spans"] = pipeline.clean_spans(
@@ -150,7 +151,7 @@ def main() -> None:
         # (ENGINE_AB.md; the r3 ~100k crossover where the relational
         # plan won small corpora shifted below 24k with the r4
         # semantics — udf won or tied at every size measured in r4)
-        "engine_default": default_engine(),
+        "engine_default": default_engine(N_DOCS),
         "fastest_engine": ("default" if fastest_sec ==
                            timings["flagship_extraction"] else "sql"),
         "fastest_extraction_docs_per_sec": round(N_DOCS / fastest_sec, 2),

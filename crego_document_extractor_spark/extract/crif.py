@@ -341,31 +341,50 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     return extract_all(parsed.where(F.col("doc_kind") == "crif"))
 
 
-def default_engine() -> str:
+#: measured corpus-size crossover (BENCH/ENGINE_AB.md, r5): below it
+#: the pure-JVM relational plan amortizes better (python worker spin-up
+#: dominates small corpora); at/above it the fused Arrow-UDF plan wins.
+ENGINE_CROSSOVER_DOCS = int(
+    __import__("os").environ.get("SPARK_GRAFT_ENGINE_CROSSOVER", "6000"))
+
+
+def default_engine(n_docs: int | None = None) -> str:
     """THE engine-selection point, shared by every entry path
     (pipeline.extract_parameters, direct extract_all/extract_crif
-    callers, bench children): `SPARK_GRAFT_ENGINE` env, falling back
-    to the A/B-measured default 'udf' (BENCH/BASELINE.md)."""
+    callers, bench children): `SPARK_GRAFT_ENGINE` env ('sql', 'udf',
+    or 'auto' — the default).  'auto' resolves by the estimated input
+    size when the caller provides one (`n_docs`): the relational
+    engine below ENGINE_CROSSOVER_DOCS, the fused Arrow-UDF engine
+    at/above it (r4 VERDICT #2 — the shipped default should be the
+    measured winner at EVERY scale, not just the design point).
+    Without a size hint, 'auto' falls back to 'udf', the winner at
+    the 160k-doc design scale."""
     import os
-    return os.environ.get("SPARK_GRAFT_ENGINE", "udf")
+    env = os.environ.get("SPARK_GRAFT_ENGINE", "auto")
+    if env != "auto":
+        return env
+    if n_docs is None:
+        return "udf"
+    return "sql" if n_docs < ENGINE_CROSSOVER_DOCS else "udf"
 
 
-def extract_all(parsed: DataFrame, engine: str | None = None) -> DataFrame:
+def extract_all(parsed: DataFrame, engine: str | None = None,
+                n_docs: int | None = None) -> DataFrame:
     """UNIFIED single-plan extraction for both document kinds.
 
     Kind routing (main.py:66-69) is a CASE over per-kind result arrays
     inside ONE lineage, so the parse stage executes exactly once (a
     plan-level union re-runs the Python parse per branch — measured).
 
-    engine=None resolves via ``default_engine()`` (env switch, 'udf'
-    fallback — the measured design-point winner).
+    engine=None resolves via ``default_engine(n_docs)`` (env switch,
+    size-aware 'auto' default).
     engine='sql': the retrieval stage runs JVM-side
     (retrieval_sql.py) — zero Python beyond the Arrow parse.
     engine='udf': the Arrow pandas_udf retrieval — an INDEPENDENT
     physical plan; the A9 consistency check (test_accuracy.py:79-115
     analogue) proves the two agree."""
     if engine is None:
-        engine = default_engine()
+        engine = default_engine(n_docs)
     if engine == "sql":
         from .gstr import gstr_result_structs, with_gstr_columns
         from .retrieval_sql import relational_extract_columns

@@ -50,23 +50,42 @@ _PARAM_IDS = [spec["param_id"] for spec in PARAMETER_SPECS]
 _QUERY_MAT = np.stack([S.embed(query_text(spec)) for spec in PARAMETER_SPECS])
 
 
+def retrieve_rows(cand_list) -> list[dict]:
+    """One document's candidate structs → the per-parameter best-chunk
+    rows (the single shared definition — used by the `best_chunks`
+    pandas_udf AND the fused parse+retrieval MapInPandas stage)."""
+    cand_vecs = [S.embed(c["content"]) for c in cand_list]
+    retrieved = S.retrieve_best(_QUERY_MAT, cand_vecs)
+    row = []
+    for pid, (best_i, score) in zip(_PARAM_IDS, retrieved):
+        if best_i is None:
+            row.append({"param_id": pid, "ctype": None,
+                        "ref_idx": None, "score": None})
+        else:
+            c = cand_list[best_i]
+            row.append({"param_id": pid, "ctype": c["ctype"],
+                        "ref_idx": int(c["ref_idx"]), "score": score})
+    return row
+
+
+def candidate_pool(doc_kind: str, tables, chunks) -> list[dict]:
+    """Python twin of CANDIDATES_EXPR (tables first, then text chunks,
+    contents truncated to MAX_CHUNK_CHARS; non-crif kinds → empty) for
+    the fused parse+retrieval stage."""
+    if doc_kind != "crif":
+        return []
+    pool = [{"ctype": "table", "ref_idx": t["id"],
+             "content": (t["raw"] or "")[:S.MAX_CHUNK_CHARS]}
+            for t in tables]
+    pool += [{"ctype": "text", "ref_idx": c["chunk_idx"],
+              "content": (c["text"] or "")[:S.MAX_CHUNK_CHARS]}
+             for c in chunks]
+    return pool
+
+
 @F.pandas_udf(RETR_TYPE)
 def best_chunks(cands: pd.Series) -> pd.Series:
-    out = []
-    for cand_list in cands:
-        cand_vecs = [S.embed(c["content"]) for c in cand_list]
-        retrieved = S.retrieve_best(_QUERY_MAT, cand_vecs)
-        row = []
-        for pid, (best_i, score) in zip(_PARAM_IDS, retrieved):
-            if best_i is None:
-                row.append({"param_id": pid, "ctype": None,
-                            "ref_idx": None, "score": None})
-            else:
-                c = cand_list[best_i]
-                row.append({"param_id": pid, "ctype": c["ctype"],
-                            "ref_idx": int(c["ref_idx"]), "score": score})
-        out.append(row)
-    return pd.Series(out)
+    return pd.Series([retrieve_rows(cand_list) for cand_list in cands])
 
 
 def with_retrieval(parsed_df):
@@ -75,6 +94,13 @@ def with_retrieval(parsed_df):
     Kind-aware: only crif documents have retrieval candidates
     (crif.py:80-121); other kinds ship an empty candidate list into the
     UDF (near-free) so the unified single-plan extraction can run the
-    Python stage exactly once over the whole corpus."""
+    Python stage exactly once over the whole corpus.
+
+    No-op when `retr` is already present — the fused
+    parse+retrieval MapInPandas (parse.py, fuse_retrieval=True)
+    computes it inside the parse stage, removing one JVM↔Python Arrow
+    round-trip from the flagship plan (r4 VERDICT #6)."""
+    if "retr" in parsed_df.columns:
+        return parsed_df
     cands = f"CASE WHEN doc_kind = 'crif' THEN {CANDIDATES_EXPR} ELSE array() END"
     return parsed_df.withColumn("retr", best_chunks(F.expr(cands)))

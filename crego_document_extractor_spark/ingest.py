@@ -1034,6 +1034,23 @@ def pdf_runs_to_documents(runs: DataFrame, band_gap: float = 4.0,
                                f"THEN array_join({row_e}, ' | ') "
                                f"ELSE {line_text} END").alias("text"))
                 .where("kind IN ('thdr', 'trow', 'media') OR text != ''"))
+    # scanned-page detection (r4 VERDICT #4): a page with media but NO
+    # text runs is image-only — the reference OCRs these (Docling,
+    # parser.py:31-58); with no OCR in the sandbox the media span is
+    # MARKED (media_ref 'needs_ocr:img:N') instead of silently
+    # yielding an empty page, so downstream curation can route.  The
+    # (doc_id, page) window reuses the banding shuffle's partitioning
+    # — no extra exchange.
+    wpage = W.partitionBy("doc_id", "page")
+    allspans = (allspans
+                .withColumn("_pg_text", F.max(
+                    F.when(F.col("kind") != "media", 1).otherwise(0))
+                    .over(wpage))
+                .withColumn("media", F.when(
+                    (F.col("kind") == "media") & (F.col("_pg_text") == 0),
+                    F.concat(F.lit("needs_ocr:"), F.col("media")))
+                    .otherwise(F.col("media")))
+                .drop("_pg_text"))
     span_t = "struct<kind:string,text:string,media_ref:string,offset:int>"
     state_t = f"struct<acc:array<{span_t}>,tpage:int,ttext:string>"
     tspan = ("named_struct('kind', 'table', 'text', s.ttext, "

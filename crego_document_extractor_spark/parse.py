@@ -111,12 +111,41 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def parse_documents(docs: DataFrame) -> DataFrame:
+def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused parse + retrieval: one Python worker pass computes the
+    parsed structure AND the per-parameter best-chunk column — stage
+    profiling showed the flagship python-stage-bound with two Arrow
+    round-trips (parse MapInPandas → JVM → retrieval pandas_udf);
+    fusing removes one (r4 VERDICT #6).  Semantics are shared
+    function-for-function with the unfused plan (retrieve_rows /
+    candidate_pool), which stays as the second physical form."""
+    from .extract.retrieval import candidate_pool, retrieve_rows
+
+    for pdf in _parse_batches(batches):
+        yield pdf.assign(retr=[
+            retrieve_rows(candidate_pool(kind, tables, chunks))
+            for kind, tables, chunks in zip(
+                pdf["doc_kind"], pdf["tables"], pdf["chunks"])
+        ])
+
+
+def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
     """documents(doc_id, spans) → parsed-document DataFrame.
 
     Narrow (no shuffle); Arrow-batched; heavy-tailed docs bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch.
+
+    ``fuse_retrieval=True`` additionally emits the `retr` best-chunk
+    column from the SAME Python stage (downstream `with_retrieval`
+    then no-ops) — use when the consumer is the udf-engine extraction;
+    plain parses (clean_spans-only consumers) should keep the default
+    so they don't pay for retrieval they will prune away.
     """
+    if fuse_retrieval:
+        from .extract.retrieval import RETR_TYPE
+        schema = T.StructType(
+            list(PARSED_SCHEMA.fields) + [T.StructField("retr", RETR_TYPE)])
+        return docs.mapInPandas(_parse_retr_batches, schema=schema)
     return docs.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
 
 

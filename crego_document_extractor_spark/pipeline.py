@@ -45,7 +45,8 @@ def clean_spans(parsed: DataFrame) -> DataFrame:
     return parsed.select("doc_id", "clean_spans")
 
 
-def extract_parameters(parsed: DataFrame, mode: str = "embedding") -> DataFrame:
+def extract_parameters(parsed: DataFrame, mode: str = "embedding",
+                       n_docs: int | None = None) -> DataFrame:
     """Route by document kind (main.py:66-69).  mode='embedding' (the
     reference default, config.py:58) runs the UNIFIED single-plan
     extraction — kind routing is a CASE inside one lineage, so the
@@ -61,7 +62,7 @@ def extract_parameters(parsed: DataFrame, mode: str = "embedding") -> DataFrame:
         # relational engine stays selectable (SPARK_GRAFT_ENGINE=sql)
         # and agreement-proven (q_a9b_engine_agreement).  Resolution
         # lives in ONE place: extract.crif.default_engine().
-        return extract_all(parsed)
+        return extract_all(parsed, n_docs=n_docs)
     return extract_crif_legacy(parsed).unionByName(extract_gstr(parsed))
 
 
@@ -71,6 +72,26 @@ def run(docs: DataFrame, repartition: bool = True) -> tuple[DataFrame, DataFrame
         docs = ensure_parallelism(docs)
     parsed = parse_documents(docs)
     return clean_spans(parsed), extract_parameters(parsed)
+
+
+def extract_from_raw(docs: DataFrame, mode: str = "embedding",
+                     n_docs: int | None = None) -> DataFrame:
+    """documents(doc_id, spans) → results, choosing the fastest
+    physical form for the resolved engine: with the udf engine the
+    parse and retrieval Python stages FUSE into one MapInPandas (one
+    Arrow round-trip instead of two — the flagship was
+    python-stage-bound, r4 VERDICT #6); the sql engine keeps the plain
+    parse (its retrieval is JVM-side).  Semantically identical to
+    ``extract_parameters(parse_documents(docs))`` either way.
+
+    ``n_docs`` (optional estimated corpus size) lets the 'auto'
+    engine default pick the measured winner at this scale
+    (extract.crif.default_engine)."""
+    from .extract.crif import default_engine
+    engine = default_engine(n_docs)
+    fuse = mode == "embedding" and engine == "udf"
+    return extract_parameters(parse_documents(docs, fuse_retrieval=fuse),
+                              mode=mode, n_docs=n_docs)
 
 
 def formatted_output(results: DataFrame) -> DataFrame:

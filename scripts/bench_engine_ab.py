@@ -29,12 +29,12 @@ def child(cpus: int, corpus: str) -> None:
     docs = pipeline.ensure_parallelism(spark.read.parquet(corpus),
                                        min_partitions=cpus * 4).persist()
     docs.count()
-    pipeline.extract_parameters(parse_documents(docs.limit(64))).count()
-    pipeline.extract_parameters(parse_documents(docs)).count()
+    pipeline.extract_from_raw(docs.limit(64)).count()
+    pipeline.extract_from_raw(docs).count()
     best, walls = float("inf"), []
     for _ in range(3):
         t0 = time.perf_counter()
-        pipeline.extract_parameters(parse_documents(docs)).count()
+        pipeline.extract_from_raw(docs).count()
         walls.append(round(time.perf_counter() - t0, 3))
         best = min(best, walls[-1])
     from crego_document_extractor_spark.extract.crif import default_engine

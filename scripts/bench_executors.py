@@ -48,8 +48,8 @@ def child(files_csv: str) -> None:
     # warm JVM/JIT + python workers with a FULL pass (a real executor
     # pool is long-lived; the giant codegen methods take a full pass
     # to JIT — see scripts/bench_scaling.py)
-    pipeline.extract_parameters(parse_documents(docs.limit(64))).count()
-    pipeline.extract_parameters(parse_documents(docs)).count()
+    pipeline.extract_from_raw(docs.limit(64)).count()
+    pipeline.extract_from_raw(docs).count()
 
     print("READY", flush=True)
     sys.stdin.readline()  # GO barrier
@@ -57,7 +57,7 @@ def child(files_csv: str) -> None:
     best, rows = float("inf"), 0
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        rows = pipeline.extract_parameters(parse_documents(docs)).count()
+        rows = pipeline.extract_from_raw(docs).count()
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({"docs": n_docs, "sec": round(best, 3), "rows": rows}),
           flush=True)

@@ -39,13 +39,13 @@ def child(cpus: int, corpus: str) -> None:
     # the interpreted JVM contends with the python workers (~3x CPU/doc
     # inflation).  A production executor pool is long-lived, so timed
     # runs measure the warm steady state.
-    pipeline.extract_parameters(parse_documents(docs.limit(64))).count()
-    pipeline.extract_parameters(parse_documents(docs)).count()
+    pipeline.extract_from_raw(docs.limit(64)).count()
+    pipeline.extract_from_raw(docs).count()
 
     best, n_rows, walls = float("inf"), 0, []
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        n_rows = pipeline.extract_parameters(parse_documents(docs)).count()
+        n_rows = pipeline.extract_from_raw(docs).count()
         walls.append(round(time.perf_counter() - t0, 3))
         best = min(best, walls[-1])
     print(json.dumps({"cpus": cpus, "sec": round(best, 3), "rows": n_rows,

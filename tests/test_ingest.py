@@ -373,3 +373,48 @@ def test_split_pages_parity_and_fanout(spark):
                .distinct().count())
     assert page_rows.count() == 301
     assert n_parts >= 8
+
+
+def _scanned_pdf() -> bytes:
+    """Two pages: page 1 has text, page 2 is image-only (scanned)."""
+    import zlib
+    c1 = zlib.compress(b"BT 1 0 0 1 50 700 Tm (real text page) Tj ET")
+    c2 = zlib.compress(b"q 595 0 0 842 0 0 cm /Im1 Do Q")
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Filter /FlateDecode /Length " + str(len(c1)).encode()
+            + b" >>\nstream\n" + c1 + b"\nendstream",
+            b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
+            b"/Resources << /XObject << /Im1 7 0 R >> >> >>",
+            b"<< /Filter /FlateDecode /Length " + str(len(c2)).encode()
+            + b" >>\nstream\n" + c2 + b"\nendstream",
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 "
+            b">>\nstream\n\x00\x01\x02\x03\nendstream"]
+    out = [b"%PDF-1.4"]
+    for n, body in enumerate(objs, start=1):
+        out.append(f"{n} 0 obj".encode() + b"\n" + body + b"\nendobj")
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def test_scanned_page_needs_ocr_marker(spark):
+    """r4 VERDICT #4: an image-only (scanned) page emits its media
+    span marked needs_ocr instead of silently contributing nothing;
+    pages WITH text keep plain media refs (test above)."""
+    raw = spark.createDataFrame(
+        [("crif-scan", bytearray(_scanned_pdf()))],
+        "doc_id string, payload binary")
+    spans = [s.asDict() for s in
+             ingest.ingest_pdf(raw).collect()[0]["spans"]]
+    assert [s["kind"] for s in spans] == ["text", "media"]
+    assert spans[0]["text"] == "real text page"
+    assert spans[1]["media_ref"] == "needs_ocr:img:7"
+    # mixed page stays unmarked
+    raw2 = spark.createDataFrame(
+        [("crif-img", bytearray(_image_pdf()))],
+        "doc_id string, payload binary")
+    spans2 = [s.asDict() for s in
+              ingest.ingest_pdf(raw2).collect()[0]["spans"]]
+    assert [s["media_ref"] for s in spans2 if s["kind"] == "media"] == ["img:5"]
