@@ -71,7 +71,13 @@ def run(docs: DataFrame, repartition: bool = True) -> tuple[DataFrame, DataFrame
     if repartition:
         docs = ensure_parallelism(docs)
     parsed = parse_documents(docs)
-    return clean_spans(parsed), extract_parameters(parsed)
+    results = extract_parameters(parsed)
+    from .ops.answer import rag_fallback_enabled, with_rag_fallback
+    if rag_fallback_enabled():
+        # deterministic extractive RAG fallback (reference
+        # ENABLE_RAG path, default off — ops/answer.py)
+        results = with_rag_fallback(results, parsed)
+    return clean_spans(parsed), results
 
 
 def extract_from_raw(docs: DataFrame, mode: str = "embedding",
