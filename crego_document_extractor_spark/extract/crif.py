@@ -341,11 +341,15 @@ def extract_crif(parsed: DataFrame) -> DataFrame:
     return extract_all(parsed.where(F.col("doc_kind") == "crif"))
 
 
-#: measured corpus-size crossover (BENCH/ENGINE_AB.md, r5): below it
-#: the pure-JVM relational plan amortizes better (python worker spin-up
-#: dominates small corpora); at/above it the fused Arrow-UDF plan wins.
+#: measured corpus-size crossover (BENCH/ENGINE_AB.md round-5 sweep):
+#: the r5 parse+retrieval FUSION moved it below the smallest measured
+#: size — the fused Arrow-UDF plan ties the relational plan at 600
+#: docs and wins 1.3-1.9x from 2400 to 24000 (and 1.8x at 160k, r3/r4)
+#: — so the default crossover is 0 (auto resolves udf at every scale).
+#: The size-aware mechanism stays env-overridable for recalibration if
+#: future semantics shift the balance back.
 ENGINE_CROSSOVER_DOCS = int(
-    __import__("os").environ.get("SPARK_GRAFT_ENGINE_CROSSOVER", "6000"))
+    __import__("os").environ.get("SPARK_GRAFT_ENGINE_CROSSOVER", "0"))
 
 
 def default_engine(n_docs: int | None = None) -> str:
