@@ -518,6 +518,34 @@ def _q_dedup_simhash_e2e(spark, sf):
     return _with_lsh_floor(ver, lsh)
 
 
+def _q_pack_sequences(spark, sf):
+    """Token-budget training-shard packing (ops/pack.pack_sequences):
+    value-based id ranges pack in parallel (no global sort), shard =
+    floor(start_token_offset / budget) within the range.  DuckDB
+    reproduces the exact rule with window functions."""
+    from crego_document_extractor_spark.ops.pack import pack_sequences
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return pack_sequences(d, budget_tokens=2048, range_size=100)
+
+
+def _q_dedup_clusters(spark, sf):
+    """Duplicate-cluster resolution: the verified near-dup pairs of
+    the capped slice (same derivation as q_dedup_minhash_e2e) resolve
+    into connected components via iterative min-label propagation
+    (ops/dedup.duplicate_clusters); cluster_id = min reachable doc id.
+    The DuckDB oracle recomputes the SAME components with a recursive
+    CTE over the exhaustive pair truth — value-level equality, not
+    structural."""
+    from crego_document_extractor_spark.ops.dedup import (
+        duplicate_clusters, minhash_candidate_pairs, ngram_jaccard_pairs)
+    d = _dedup_slice(spark, sf)
+    cand = (minhash_candidate_pairs(d, n_hashes=16, bands=8, shingle_k=1)
+            .unionByName(_dedup_safety_net(d)))
+    pairs = (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+             .select("d1", "d2"))
+    return duplicate_clusters(pairs)
+
+
 # --- table-signature operators on inline nested tables ---------------------
 
 _TAB = "named_struct('id', tbl_id, 'page', 0, 'columns', cols, 'rows', rws, 'raw', raw)"
@@ -874,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_dedup_minhash_e2e": _q_dedup_minhash_e2e,
         "q_dedup_simhash_e2e": _q_dedup_simhash_e2e,
+        "q_dedup_clusters": _q_dedup_clusters,
+        "q_pack_sequences": _q_pack_sequences,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
         "q_s2_html_ingest": _q_s2_html_ingest,
         "q_s2_pdf_ingest": _q_s2_pdf_ingest,
@@ -1366,6 +1396,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_minhash_e2e": _DEDUP_E2E_ORACLE,
         "q_dedup_simhash_e2e": _DEDUP_E2E_ORACLE,
+        "q_dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "q_pack_sequences": """
+            WITH d AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens,
+                              CAST(doc_id AS BIGINT) // 100 AS rng
+                       FROM documents),
+                 c AS (SELECT doc_id, n_tokens, rng,
+                              sum(n_tokens) OVER (PARTITION BY rng
+                                                  ORDER BY doc_id) AS cum
+                       FROM d)
+            SELECT doc_id, n_tokens, rng,
+                   CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS shard
+            FROM c
+        """,
         "q_a9b_engine_agreement": (
             f"SELECT cast({_a9b_expected_rows()} AS bigint) AS n_rows, "
             f"cast(0 AS bigint) AS n_mismatches"),
@@ -1400,6 +1444,35 @@ _DEDUP_E2E_ORACLE = """
     JOIN sizes s1 ON s1.doc_id = d1
     JOIN sizes s2 ON s2.doc_id = d2
     WHERE common / (s1.n + s2.n - common) >= 0.8
+"""
+
+# same capped-slice pair truth as _DEDUP_E2E_ORACLE, resolved into
+# connected components with a recursive CTE (transitive closure →
+# min reachable id) — pins ops/dedup.duplicate_clusters value-level
+_DEDUP_CLUSTERS_ORACLE = """
+    WITH RECURSIVE
+         k AS (SELECT greatest(10, CAST(ceil(count(*) / 60.0) AS BIGINT)) AS k
+               FROM documents),
+         d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents WHERE doc_id % (SELECT k FROM k) = 0),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         sizes AS (SELECT doc_id, len(toks) AS n FROM d),
+         p AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+           FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         vp AS (
+           SELECT d1, d2 FROM p
+           JOIN sizes s1 ON s1.doc_id = d1
+           JOIN sizes s2 ON s2.doc_id = d2
+           WHERE common / (s1.n + s2.n - common) >= 0.8),
+         e AS (SELECT d1 AS u, d2 AS v FROM vp
+               UNION SELECT d2, d1 FROM vp),
+         reach(u, label) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM e) nodes
+           UNION
+           SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.u)
+    SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u
 """
 
 

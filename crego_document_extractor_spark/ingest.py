@@ -699,8 +699,9 @@ def pdf_runs_with_modal_size(runs: DataFrame) -> DataFrame:
 
 
 def ingest_pdf(raw: DataFrame, band_height: float = 12.0,
-               tables: bool = True, split_pages: bool = False,
-               page_partitions: int | None = None) -> DataFrame:
+               tables: bool = True, split_pages: bool | str = False,
+               page_partitions: int | None = None,
+               split_threshold_bytes: int = 4 << 20) -> DataFrame:
     """raw(doc_id string, payload binary) → documents(doc_id, spans):
     byte-level text extraction (Arrow-batched) + the relational y-band
     reading-order merge — the S1→S2 loop on real PDF bytes.  With
@@ -718,7 +719,28 @@ def ingest_pdf(raw: DataFrame, band_height: float = 12.0,
     partitioning-invariant (tests/test_ingest.py), so the output is
     byte-identical to the default path.  Use for few-huge-documents
     inputs; the default single-stage path avoids the extra shuffle
-    for ordinary many-document corpora."""
+    for ordinary many-document corpora.
+
+    ``split_pages='auto'`` routes only payloads larger than
+    ``split_threshold_bytes`` (default 4 MiB) through the per-page
+    plan and everything else through the single-stage plan, unioned
+    into ONE reconstruction — mixed corpora get mega-PDF fan-out
+    without paying the page shuffle for ordinary documents."""
+    if split_pages == "auto":
+        big = raw.where(F.length("payload") > split_threshold_bytes)
+        small = raw.where(F.length("payload") <= split_threshold_bytes)
+        pages = big.select("doc_id", "payload").mapInPandas(
+            _pdf_split_batches, schema=_PAGES_SCHEMA)
+        n_parts = page_partitions or raw.sparkSession.sparkContext.defaultParallelism * 2
+        big_runs = pdf_runs_with_modal_size(
+            pages.repartition(n_parts, "doc_id", "page")
+            .mapInPandas(_pdf_page_batches, schema=_PAGE_RUNS_SCHEMA))
+        runs = (small.select("doc_id", "payload")
+                .mapInPandas(_pdf_batches, schema=_RUNS_SCHEMA)
+                .unionByName(big_runs))
+        if tables:
+            return pdf_runs_to_documents(runs)
+        return pdf_runs_to_spans(runs, band_height=band_height)
     if split_pages:
         pages = raw.select("doc_id", "payload").mapInPandas(
             _pdf_split_batches, schema=_PAGES_SCHEMA)

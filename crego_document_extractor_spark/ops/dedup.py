@@ -201,3 +201,46 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.9,
     return (cand.withColumn("sim", F.expr(cosine_expr("v1", "v2")))
             .where(F.col("sim") >= threshold)
             .select("d1", "d2", F.round("sim", 6).alias("sim")))
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs (d1, d2) → connected components:
+    (doc_id, cluster_id) with cluster_id = the MINIMUM doc id
+    reachable in the pair graph — the canonical-representative rule
+    every dedup pipeline needs once pairwise candidates exist (keep
+    one doc per cluster, drop the rest).
+
+    Iterative min-label propagation: labels start as each node's own
+    id; every round each node takes min(own label, neighbours'
+    labels); converges in O(graph diameter) rounds — near-dup
+    components are overwhelmingly tiny (pairs/triples), so 2-3 rounds
+    settle real corpora, with ``max_iter`` bounding adversarial
+    chains.  Each round is one broadcast-free shuffle join on the
+    (small) label table, with early stop when a round changes
+    nothing; ``localCheckpoint`` truncates the iterative lineage so
+    the plan does not grow unboundedly (the classic iterative-Spark
+    trap).  At corpus scale the label table is one slim
+    (id, label) row per UNIQUE doc in any pair — orders of magnitude
+    smaller than the corpus."""
+    edges = (pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+             .unionByName(pairs.select(F.col("d2").alias("u"),
+                                       F.col("d1").alias("v")))
+             .distinct())
+    labels = (edges.select(F.col("u").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("id", "v"), "v")
+                 .groupBy(F.col("u").alias("id"))
+                 .agg(F.min("label").alias("nlabel")))
+        new = (labels.join(neigh, "id", "left")
+               .select("id", F.least("label", F.coalesce("nlabel", "label"))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "id")
+                   .where("label != old").limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -1,0 +1,55 @@
+"""Token-budget sequence packing — training-shard assignment.
+
+A training-data pipeline's last mile: place documents into
+fixed-token-budget shards ("sequences") deterministically.  The
+naive greedy packer is a sequential scan — a single-partition global
+window that dies at corpus scale — so this operator uses the
+scalable idiom: VALUE-BASED id ranges (doc_id div range_size) give
+deterministic, data-independent partition boundaries; packing runs
+per range in parallel (one window partition each), and the global
+shard key is (rng, shard).  Offset semantics: a document whose
+running token offset starts inside shard k belongs to shard k; an
+oversized document occupies its start shard and pushes the next
+document forward — deterministic, one pass, no shuffle beyond the
+single hash partition by range.
+
+Both the token count (whitespace split) and the packing rule are
+DuckDB-expressible, so the driver query q_pack_sequences is
+value-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(df: DataFrame, budget_tokens: int = 2048,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   range_size: int = 1000) -> DataFrame:
+    """(id, text) → (id, n_tokens, rng, shard).
+
+    ``rng`` = id div range_size (value-based → deterministic and
+    partition-parallel regardless of cluster size); ``shard`` =
+    floor(start_offset / budget) within the range, where start_offset
+    is the running token sum of all smaller ids in the range."""
+    w = Window.partitionBy("rng").orderBy(id_col)
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
+        F.expr(f"CAST(CAST({id_col} AS BIGINT) div {range_size} AS BIGINT)")
+        .alias("rng"))
+    return (d.withColumn("cum", F.sum("n_tokens").over(w))
+            .select("doc_id", "n_tokens", "rng",
+                    F.expr(f"CAST(floor((cum - n_tokens) / {budget_tokens}.0d)"
+                           " AS BIGINT)").alias("shard")))
+
+
+def shard_manifest(packed: DataFrame) -> DataFrame:
+    """(rng, shard) → docs, tokens, fill ratio — the writer-side view
+    (one output file per (rng, shard) in a real pipeline)."""
+    return (packed.groupBy("rng", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

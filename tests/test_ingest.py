@@ -418,3 +418,31 @@ def test_scanned_page_needs_ocr_marker(spark):
     spans2 = [s.asDict() for s in
               ingest.ingest_pdf(raw2).collect()[0]["spans"]]
     assert [s["media_ref"] for s in spans2 if s["kind"] == "media"] == ["img:5"]
+
+
+def test_split_pages_auto_routes_by_size(spark):
+    """split_pages='auto': only oversized payloads take the per-page
+    plan; the unioned output equals both pure paths."""
+    big_pdf = _mini_pdf([f"BT 1 0 0 1 10 {700 - 10 * (r % 60)} Tm "
+                         f"(auto page {p} row {r}) Tj ET"
+                         for p in range(40) for r in range(1)])
+    small_pdf = _mini_pdf(["BT 1 0 0 1 10 700 Tm (small auto doc) Tj ET"])
+    raw = spark.createDataFrame(
+        [("crif-big", bytearray(big_pdf)), ("crif-small", bytearray(small_pdf))],
+        "doc_id string, payload binary")
+
+    def spans_of(df):
+        return {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                for r in df.collect()}
+
+    base = spans_of(ingest.ingest_pdf(raw))
+    # threshold between the two payload sizes -> big goes paged
+    thresh = len(small_pdf) + 1
+    assert len(big_pdf) > thresh
+    auto = spans_of(ingest.ingest_pdf(raw, split_pages="auto",
+                                      split_threshold_bytes=thresh))
+    assert auto == base
+    # threshold above both -> pure single-stage path, same output
+    auto_none = spans_of(ingest.ingest_pdf(raw, split_pages="auto",
+                                           split_threshold_bytes=10**9))
+    assert auto_none == base

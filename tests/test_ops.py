@@ -231,3 +231,44 @@ def test_lsh_floor_detects_total_breakage(spark):
 
     # nothing to recover -> vacuously fine AND empty either way
     assert E._with_lsh_floor(ver.where("d1 < 0"), empty).count() == 0
+
+
+def test_duplicate_clusters_min_label(spark):
+    """Connected components over near-dup pairs: cluster_id is the
+    minimum reachable doc id; chains, triangles, and isolated pairs
+    all resolve; convergence is iteration-order independent."""
+    from crego_document_extractor_spark.ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4),        # chain 1-2-3-4 -> cluster 1
+         (10, 11), (11, 10),            # pair (+ reverse dup)
+         (20, 21), (21, 22), (20, 22)], # triangle
+        "d1 int, d2 int")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_pack_sequences_offsets_and_ranges(spark):
+    """Token-budget packing: shard = floor(start_offset/budget) within
+    a value-based id range; oversized docs own their start shard;
+    different ranges pack independently."""
+    from crego_document_extractor_spark.ops.pack import (
+        pack_sequences, shard_manifest)
+
+    rows = [(1, "a b c"),            # 3 tokens, offset 0  -> shard 0
+            (2, "d e f g"),          # 4 tokens, offset 3  -> shard 0
+            (3, " ".join(["x"] * 10)),  # 10 tokens, offset 7 -> shard 0 (oversized)
+            (4, "h"),                # offset 17 -> shard 2
+            (1001, "p q")]           # other range, offset 0 -> shard 0
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["rng"], r["shard"], r["n_tokens"])
+           for r in pack_sequences(df, budget_tokens=8).collect()}
+    assert got == {1: (0, 0, 3), 2: (0, 0, 4), 3: (0, 0, 10),
+                   4: (0, 2, 1), 1001: (1, 0, 2)}
+    man = {(r["rng"], r["shard"]): (r["n_docs"], r["n_tokens"])
+           for r in shard_manifest(
+               pack_sequences(df, budget_tokens=8)).collect()}
+    assert man[(0, 0)] == (3, 17) and man[(1, 0)] == (1, 2)
