@@ -152,8 +152,10 @@ def test_minhash_signature_matches_hof_formulation(text_df):
 
     got = {r["doc_id"]: list(r["signature"]) for r in
            dedup.minhash_signature(text_df, n_hashes=8, shingle_k=2).collect()}
+    # single-basis construction: fingerprint the shingle once, derive
+    # each seeded value from the int (matches _minhash_scalar)
     sig = ("array(" + ", ".join(
-        f"array_min(transform(sh, s -> hash(s, {seed})))"
+        f"array_min(transform(sh, s -> hash(hash(s), {seed})))"
         for seed in range(8)) + ")")
     sh = ("array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)), "
           "i -> concat_ws(' ', slice(split(text, ' '), i, 2))))")
