@@ -518,6 +518,47 @@ def _q_dedup_simhash_e2e(spark, sf):
     return _with_lsh_floor(ver, lsh)
 
 
+def _q_rag_fallback(spark, sf):
+    """Extractive RAG fallback (ops/answer.py — the reference's
+    _extract_with_llm_and_rag with llm.generate made deterministic),
+    forced on over a fixed inline fixture: doc 01/02 carry the bureau
+    score ONLY in free text (programmatic table scan misses, the
+    retrieved chunk's best type-compatible sentence answers), doc 03
+    has nothing to extract.  Deterministic end-to-end, so the oracle
+    is the literal expected relation (same style as the q_s2 ingest
+    profiles)."""
+    from crego_document_extractor_spark import pipeline
+    from crego_document_extractor_spark.parse import parse_documents
+    from crego_document_extractor_spark.ops.answer import with_rag_fallback
+
+    def spans(texts):
+        return [{"kind": "text", "text": t, "media_ref": "", "offset": i}
+                for i, t in enumerate(texts)]
+    rows = [
+        ("crif-ragq-01", spans([
+            "CIBIL score information follows for the applicant.",
+            "The reported CIBIL credit bureau score equals 742 for "
+            "this borrower profile."])),
+        ("crif-ragq-02", spans([
+            "CIBIL score information follows for the applicant.",
+            "The reported CIBIL credit bureau score stands at 655 for "
+            "this borrower profile."])),
+        ("crif-ragq-03", spans([
+            "General narrative with no score words at all.",
+            "Nothing numeric relates to bureaus here."])),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    parsed = parse_documents(docs)
+    results = pipeline.extract_parameters(parsed)
+    return (with_rag_fallback(results, parsed, enabled=True)
+            .where("param_id = 'bureau_credit_score'")
+            .select("doc_id", "param_id", "value_num", "value_type",
+                    "status", F.round("confidence", 6).alias("confidence"),
+                    F.round("similarity_score", 6).alias("similarity_score")))
+
+
 def _q_pack_sequences(spark, sf):
     """Token-budget training-shard packing (ops/pack.pack_sequences):
     value-based id ranges pack in parallel (no global sort), shard =
@@ -904,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash_e2e": _q_dedup_simhash_e2e,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_pack_sequences": _q_pack_sequences,
+        "q_rag_fallback": _q_rag_fallback,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
         "q_s2_html_ingest": _q_s2_html_ingest,
         "q_s2_pdf_ingest": _q_s2_pdf_ingest,
@@ -1397,6 +1439,18 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_minhash_e2e": _DEDUP_E2E_ORACLE,
         "q_dedup_simhash_e2e": _DEDUP_E2E_ORACLE,
         "q_dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "q_rag_fallback": """
+            SELECT * FROM (VALUES
+              ('crif-ragq-01', 'bureau_credit_score', 742.0, 'int',
+               'extracted', CAST(0.42 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+              ('crif-ragq-02', 'bureau_credit_score', 655.0, 'int',
+               'extracted', CAST(0.3 AS DOUBLE), CAST(0.49099 AS DOUBLE)),
+              ('crif-ragq-03', 'bureau_credit_score',
+               CAST(NULL AS DOUBLE), 'null', 'extracted', 0.0,
+               CAST(NULL AS DOUBLE))
+            ) t(doc_id, param_id, value_num, value_type, status,
+                confidence, similarity_score)
+        """,
         "q_pack_sequences": """
             WITH d AS (SELECT doc_id,
                               len(string_split(text, ' ')) AS n_tokens,
