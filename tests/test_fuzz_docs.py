@@ -98,3 +98,36 @@ def test_fuzzed_documents_match_oracle(spark, docs_spec):
                   if isinstance(ev, float) and isinstance(gv, float)
                   else ev == gv)
             assert ok, (k, f, ev, gv)
+
+
+def test_pdf_parser_survives_garbage_bytes():
+    """The from-scratch PDF byte extractor must never raise on
+    arbitrary input — corrupt documents yield empty/partial runs, not
+    task failures (at 10^12 docs, malformed files are a certainty)."""
+    import random
+
+    from crego_document_extractor_spark import ingest
+
+    rng = random.Random(99)
+    samples = [
+        b"",
+        b"%PDF-1.4",
+        b"not a pdf at all",
+        bytes(rng.randrange(256) for _ in range(4096)),
+        b"%PDF-1.4\n1 0 obj\n<< /Length 9999 >>\nstream\nxx\nendstream\nendobj",
+        b"1 0 obj << /Type /Page /Contents 2 0 R >> endobj",  # dangling ref
+        b"%PDF-1.4\n1 0 obj\n<< /Type /ObjStm /N 5 /First 3 "
+        b"/Filter /FlateDecode /Length 4 >>\nstream\nABCD\nendstream\nendobj",
+    ]
+    # and mutated variants of a valid mini PDF
+    valid = None
+    import tests.test_ingest as TI
+    valid = TI._mini_pdf(["BT 1 0 0 1 10 700 Tm (ok) Tj ET"])
+    for _ in range(30):
+        b = bytearray(valid)
+        for _ in range(rng.randint(1, 12)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        samples.append(bytes(b))
+    for s in samples:
+        runs = ingest.pdf_text_runs(s)  # must not raise
+        assert isinstance(runs, list)

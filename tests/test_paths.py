@@ -115,3 +115,20 @@ def test_duplicate_doc_ids_stay_independent(spark, tmp_path):
     combined = rows(d1.unionByName(d2))
     separate = sorted(rows(d1) + rows(d2))
     assert combined == separate
+
+
+def test_fused_extract_equals_unfused(spark):
+    """pipeline.extract_from_raw (fused parse+retrieval MapInPandas)
+    must be row-for-row identical to the two-stage plan — the r5
+    fusion is a physical rewrite only."""
+    from crego_document_extractor_spark import corpus, pipeline
+    from crego_document_extractor_spark.parse import parse_documents
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "fuse.parquet")
+    corpus.write_corpus(path, 120, seed=13, big_doc_every=17)
+    docs = spark.read.parquet(path)
+    unfused = sorted(map(tuple, pipeline.extract_parameters(
+        parse_documents(docs)).collect()))
+    fused = sorted(map(tuple, pipeline.extract_from_raw(docs).collect()))
+    assert fused == unfused
