@@ -518,6 +518,32 @@ def _q_dedup_simhash_e2e(spark, sf):
     return _with_lsh_floor(ver, lsh)
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-stratum sampling (ops/curation): top-5 per
+    source by (md5(doc_id), doc_id) — md5 computes identically in
+    Spark and DuckDB, so the oracle reproduces the exact sample."""
+    from crego_document_extractor_spark.ops.curation import stratified_sample
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return (stratified_sample(d, 5)
+            .select("doc_id", "source", "sample_rank"))
+
+
+def _q_redact_pii(spark, sf):
+    """PII scrubbing (ops/curation.redact_pii) over the documents
+    table with deterministically INJECTED pii (every 7th doc gains an
+    email + phone tail, expressible identically in DuckDB) so the
+    check is non-vacuous; output pins match counts AND the md5 of the
+    redacted text."""
+    from crego_document_extractor_spark.ops.curation import redact_pii
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.withColumn("text", F.expr(
+        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', "
+        "CAST(doc_id AS STRING), '@example.com or 9876543210') "
+        "ELSE text END"))
+    return (redact_pii(seeded)
+            .select("doc_id", "n_pii", F.md5("redacted").alias("redacted_md5")))
+
+
 def _q_rag_fallback(spark, sf):
     """Extractive RAG fallback (ops/answer.py — the reference's
     _extract_with_llm_and_rag with llm.generate made deterministic),
@@ -946,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": _q_dedup_clusters,
         "q_pack_sequences": _q_pack_sequences,
         "q_rag_fallback": _q_rag_fallback,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_redact_pii": _q_redact_pii,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
         "q_s2_html_ingest": _q_s2_html_ingest,
         "q_s2_pdf_ingest": _q_s2_pdf_ingest,
@@ -1439,6 +1467,36 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_minhash_e2e": _DEDUP_E2E_ORACLE,
         "q_dedup_simhash_e2e": _DEDUP_E2E_ORACLE,
         "q_dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "q_stratified_sample": """
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS sample_rank
+              FROM documents) t
+            WHERE sample_rank <= 5
+        """,
+        "q_redact_pii": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact user' ||
+                               CAST(doc_id AS VARCHAR) ||
+                               '@example.com or 9876543210'
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text, '\\b\\d{10,12}\\b'))
+                     AS n_pii,
+                   md5(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\\b\\d{10,12}\\b', '[PHONE]', 'g')) AS redacted_md5
+            FROM s
+        """,
         "q_rag_fallback": """
             SELECT * FROM (VALUES
               ('crif-ragq-01', 'bureau_credit_score', 742.0, 'int',

@@ -274,3 +274,37 @@ def test_pack_sequences_offsets_and_ranges(spark):
            for r in shard_manifest(
                pack_sequences(df, budget_tokens=8)).collect()}
     assert man[(0, 0)] == (3, 17) and man[(1, 0)] == (1, 2)
+
+
+def test_stratified_sample_deterministic_topk(spark):
+    """Per-stratum deterministic sample: same rows regardless of
+    partitioning; exactly k per stratum; rank matches the md5 order."""
+    from crego_document_extractor_spark.ops.curation import stratified_sample
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    a = {(r["doc_id"], r["sample_rank"])
+         for r in stratified_sample(df, 5).collect()}
+    b = {(r["doc_id"], r["sample_rank"])
+         for r in stratified_sample(df.repartition(13), 5).collect()}
+    assert a == b and len(a) == 15
+    import hashlib
+    exp = set()
+    for s in range(3):
+        ids = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                     for i in range(60) if i % 3 == s)[:5]
+        exp |= {(i, rk + 1) for rk, (_, i) in enumerate(ids)}
+    assert a == exp
+
+
+def test_redact_pii_counts_and_rewrites(spark):
+    from crego_document_extractor_spark.ops.curation import redact_pii
+
+    rows = [(1, "reach me at a.b+1@test.io or 9876543210 thanks"),
+            (2, "no pii here, just 1234 and 123456789012345 long"),
+            (3, "two mails x@y.zz and q.r@s.tt")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_pii"], r["redacted"]) for r in redact_pii(df).collect()}
+    assert got[1] == (2, "reach me at [EMAIL] or [PHONE] thanks")
+    assert got[2][0] == 0 and got[2][1] == rows[1][1]
+    assert got[3] == (2, "two mails [EMAIL] and [EMAIL]")
