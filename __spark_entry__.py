@@ -544,6 +544,97 @@ def _q_redact_pii(spark, sf):
             .select("doc_id", "n_pii", F.md5("redacted").alias("redacted_md5")))
 
 
+def _q_repetition_stats(spark, sf):
+    """Gopher repetition signals (ops/textstats.with_repetition_stats)
+    over a deterministically line-ified corpus: every 6 tokens become
+    a line, and doc_id % 3 == 0 docs repeat their first line — so
+    duplicate-line fractions are non-vacuous and DuckDB can rebuild
+    the identical input."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_repetition_stats)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = "split(text, ' ')"
+    lines = (f"transform(sequence(1, cast(ceil(size({toks}) / 6.0) AS int)), "
+             f"i -> concat_ws(' ', slice({toks}, (i - 1) * 6 + 1, 6)))")
+    ml = (f"array_join(CASE WHEN doc_id % 3 = 0 "
+          f"THEN concat({lines}, slice({lines}, 1, 1)) "
+          f"ELSE {lines} END, '\\n')")
+    seeded = d.withColumn("text", F.expr(ml))
+    return (with_repetition_stats(seeded)
+            .select("doc_id", "n_lines", "dup_line_frac",
+                    "dup_line_char_frac"))
+
+
+def _q_ngram_topk(spark, sf):
+    """Corpus-level top-20 word trigrams (ops/textstats.ngram_topk):
+    explode → map-side-combined hash aggregate → TakeOrdered."""
+    from crego_document_extractor_spark.ops.textstats import ngram_topk
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return ngram_topk(d, n=3, k=20)
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination (ops/curation.contamination_report):
+    the 'eval set' is the doc_id % 97 == 0 slice; any other document
+    sharing an 8-token n-gram with it (exact duplicates and shared
+    boilerplate in the synthetic corpus) is reported.  Broadcast
+    gram join — no corpus shuffle before the contamination-sized
+    aggregate."""
+    from crego_document_extractor_spark.ops.curation import (
+        contamination_report)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    # deterministic leak: every 50th doc carries a benchmark phrase;
+    # doc 0 is also in the % 97 eval slice, so the leak is detectable
+    seeded = d.withColumn("text", F.expr(
+        "CASE WHEN doc_id % 50 = 0 THEN concat(text, "
+        "' benchmark question alpha beta gamma delta epsilon zeta "
+        "eta theta') ELSE text END"))
+    evals = seeded.where("doc_id % 97 = 0")
+    corpus = seeded.where("doc_id % 97 != 0")
+    return contamination_report(corpus, evals, n=8)
+
+
+def _q_epoch_shard(spark, sf):
+    """Deterministic epoch shuffle + shard (ops/curation.epoch_shard):
+    the oracle rebuilds shard ids from the same md5 ascii() arithmetic
+    and pins per-shard counts plus the lexicographic head of each
+    shard's shuffle order."""
+    from crego_document_extractor_spark.ops.curation import epoch_shard
+    d = _t(spark, sf, "documents").select("doc_id")
+    return (epoch_shard(d, n_shards=16, seed=7)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("shuffle_key").alias("first_key"),
+                 F.min_by("doc_id", "shuffle_key").alias("first_doc")))
+
+
+def _q_ivf_ann_recall(spark, sf):
+    """IVF ANN vs exact brute force (ops/similarity.ivf_topk):
+    16 deterministic coarse cells, nprobe=8; recall@10 computed
+    in-Spark per query and summarized to oracle-pinnable bounds
+    (driver embeddings are near-random — ANN's hardest case — so the
+    pinned floor is all ≥ 0.3 with mean ≥ 0.5, re-validated per
+    scale factor like q_lsh_ann_recall)."""
+    from crego_document_extractor_spark.ops.similarity import (
+        brute_force_topk, ivf_topk)
+    e = _t(spark, sf, "embeddings")
+    q = e.where("vec_id < 5")
+    bf = brute_force_topk(e, q, k=10).select("query_id", "cand_id")
+    ap = ivf_topk(e, q, k=10, n_cells=16, nprobe=8).select(
+        "query_id", F.col("cand_id").alias("ivf_cand"))
+    hits = (bf.join(ap, (bf.query_id == ap.query_id) &
+                    (bf.cand_id == ap.ivf_cand), "left")
+            .groupBy(bf.query_id)
+            .agg((F.count("ivf_cand") / F.lit(10.0)).alias("recall_at_10")))
+    s = hits.agg(
+        F.count("*").alias("n_queries"),
+        F.min(F.col("recall_at_10") >= 0.3).alias("all_recall_ge_03"),
+        F.avg("recall_at_10").alias("_mean"))
+    return s.select(
+        "n_queries", "all_recall_ge_03",
+        (F.col("_mean") >= 0.5).alias("mean_recall_ge_05"))
+
+
 def _q_rag_fallback(spark, sf):
     """Extractive RAG fallback (ops/answer.py — the reference's
     _extract_with_llm_and_rag with llm.generate made deterministic),
@@ -974,6 +1065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rag_fallback": _q_rag_fallback,
         "q_stratified_sample": _q_stratified_sample,
         "q_redact_pii": _q_redact_pii,
+        "q_repetition_stats": _q_repetition_stats,
+        "q_ngram_topk": _q_ngram_topk,
+        "q_decontaminate": _q_decontaminate,
+        "q_epoch_shard": _q_epoch_shard,
+        "q_ivf_ann_recall": _q_ivf_ann_recall,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
         "q_s2_html_ingest": _q_s2_html_ingest,
         "q_s2_pdf_ingest": _q_s2_pdf_ingest,
@@ -1496,6 +1592,112 @@ def oracle_sql() -> dict[str, str]:
                      '[EMAIL]', 'g'),
                      '\\b\\d{10,12}\\b', '[PHONE]', 'g')) AS redacted_md5
             FROM s
+        """,
+        "q_repetition_stats": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            l0 AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, CAST(ceil(len(toks) / 6.0) AS INT) + 1),
+                       i -> array_to_string(
+                              toks[(i - 1) * 6 + 1:(i - 1) * 6 + 6], ' '))
+                       AS lines
+              FROM t),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN list_concat(lines, lines[1:1])
+                          ELSE lines END AS lines
+              FROM l0)
+            SELECT doc_id, len(lines) AS n_lines,
+                   round(CASE WHEN len(lines) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(lines)) /
+                              CAST(len(lines) AS DOUBLE) END, 4)
+                     AS dup_line_frac,
+                   round(list_reduce(list_prepend(0, list_transform(lines,
+                           ln -> CASE WHEN len(list_filter(lines,
+                                        x -> x = ln)) > 1
+                                      THEN length(ln) ELSE 0 END)),
+                           (a, b) -> a + b)
+                         / CAST(greatest(list_reduce(list_prepend(0,
+                             list_transform(lines, ln -> length(ln))),
+                             (a, b) -> a + b), 1) AS DOUBLE), 4)
+                     AS dup_line_char_frac
+            FROM l
+        """,
+        "q_ngram_topk": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i:i + 2], ' ') AS gram
+              FROM t, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1))
+                        AS u(i))
+            SELECT gram, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+        """,
+        "q_decontaminate": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 50 = 0
+                          THEN text || ' benchmark question alpha beta '
+                               || 'gamma delta epsilon zeta eta theta'
+                          ELSE text END AS text
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM seeded),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 7, 0) + 1),
+                       i -> array_to_string(toks[i:i + 7], ' '))) AS grams
+              FROM tok),
+            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                   WHERE doc_id % 97 = 0),
+            cg AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                   WHERE doc_id % 97 != 0)
+            SELECT cg.doc_id, count(*) AS n_contam_grams,
+                   min(cg.gram) AS first_gram
+            FROM cg JOIN ev USING (gram)
+            GROUP BY cg.doc_id
+        """,
+        "q_epoch_shard": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5('7:' || CAST(doc_id AS VARCHAR)) AS key
+              FROM documents),
+            s AS (
+              SELECT doc_id, key,
+                     ((ascii(substr(key, 1, 1)) -
+                       CASE WHEN substr(key, 1, 1) BETWEEN '0' AND '9'
+                            THEN 48 ELSE 87 END) * 4096 +
+                      (ascii(substr(key, 2, 1)) -
+                       CASE WHEN substr(key, 2, 1) BETWEEN '0' AND '9'
+                            THEN 48 ELSE 87 END) * 256 +
+                      (ascii(substr(key, 3, 1)) -
+                       CASE WHEN substr(key, 3, 1) BETWEEN '0' AND '9'
+                            THEN 48 ELSE 87 END) * 16 +
+                      (ascii(substr(key, 4, 1)) -
+                       CASE WHEN substr(key, 4, 1) BETWEEN '0' AND '9'
+                            THEN 48 ELSE 87 END)) % 16 AS shard
+              FROM k)
+            SELECT shard, count(*) AS n_docs, min(key) AS first_key,
+                   min_by(doc_id, key) AS first_doc
+            FROM s GROUP BY shard
+        """,
+        "q_ivf_ann_recall": """
+            SELECT count(*) AS n_queries, true AS all_recall_ge_03,
+                   true AS mean_recall_ge_05
+            FROM embeddings WHERE vec_id < 5
         """,
         "q_rag_fallback": """
             SELECT * FROM (VALUES

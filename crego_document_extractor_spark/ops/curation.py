@@ -42,6 +42,80 @@ def stratified_sample(df: DataFrame, n_per_stratum: int,
             .where(F.col("sample_rank") <= n_per_stratum))
 
 
+def _word_ngrams(text_col: str, n: int) -> str:
+    """SQL: distinct lowercase word n-grams of `text_col`."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    return (f"array_distinct(transform("
+            f"sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))))")
+
+
+def contamination_report(df: DataFrame, eval_df: DataFrame, n: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-decontamination scan: which corpus documents share
+    any word `n`-gram with the (small) evaluation set.
+
+    Returns (doc_id, n_contam_grams, first_gram) for contaminated
+    documents only.  Scale shape: the eval side collapses to a
+    DISTINCT gram set and is **broadcast**, so the corpus side is
+    explode → broadcast-hash-join (no corpus shuffle) → the inner join
+    drops every clean gram BEFORE the only aggregation, whose input is
+    proportional to the contamination, not the corpus.  This is the
+    standard n-gram overlap decontamination used ahead of LLM
+    training runs (the reference has no equivalent; cited op class:
+    SURVEY.md §2.9 pipeline extensions)."""
+    evals = (eval_df
+             .select(F.explode(F.expr(_word_ngrams(text_col, n)))
+                     .alias("gram"))
+             .distinct())
+    grams = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.expr(_word_ngrams(text_col, n)))
+                      .alias("gram"))
+    return (grams.join(F.broadcast(evals), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contam_grams"),
+                 F.min("gram").alias("first_gram")))
+
+
+def drop_contaminated(df: DataFrame, eval_df: DataFrame, n: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus minus contaminated docs (anti-join against the report;
+    the report is tiny relative to the corpus, so AQE turns this into
+    a broadcast anti-join at runtime)."""
+    bad = contamination_report(df, eval_df, n, text_col, id_col)
+    return df.join(bad.select(F.col("doc_id").alias(id_col)),
+                   id_col, "left_anti")
+
+
+#: hex-nibble numeric value, portable across Spark SQL and DuckDB
+#: (ascii() arithmetic — no engine-specific conv()/from_hex)
+def _hexval(ch: str) -> str:
+    return (f"(ascii({ch}) - CASE WHEN {ch} BETWEEN '0' AND '9' "
+            f"THEN 48 ELSE 87 END)")
+
+
+def epoch_shard(df: DataFrame, n_shards: int = 16, seed: int = 0,
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment.
+
+    ``shuffle_key`` = md5(seed ‖ id): a content-independent uniform
+    hex string whose LEXICOGRAPHIC order is the epoch's global
+    shuffle order (portable — no engine-specific hash).  ``shard`` =
+    first-16-bits-of-md5 mod n_shards, built from ascii() arithmetic
+    so Spark and an oracle compute the identical value.  Narrow
+    projection — the assignment itself needs NO shuffle; writers
+    repartition by ``shard`` to land one file set per shard."""
+    key = f"md5(concat('{seed}:', cast({id_col} AS string)))"
+    v = (f"({_hexval(f'substring({key}, 1, 1)')} * 4096 + "
+         f"{_hexval(f'substring({key}, 2, 1)')} * 256 + "
+         f"{_hexval(f'substring({key}, 3, 1)')} * 16 + "
+         f"{_hexval(f'substring({key}, 4, 1)')})")
+    return (df.withColumn("shuffle_key", F.expr(key))
+            .withColumn("shard", F.expr(f"{v} % {n_shards}")))
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``n_pii`` (matches found) and ``redacted`` (text with
     emails → [EMAIL], 10-12 digit runs → [PHONE]).  Counting uses the

@@ -91,6 +91,75 @@ def lsh_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("sim", 6).alias("sim")))
 
 
+def _lit_vec(vals) -> str:
+    return "array(" + ", ".join(f"{float(v)!r}d" for v in vals) + ")"
+
+
+def ivf_cells_expr(centroids, vec_col: str, n_cells_out: int) -> str:
+    """SQL: the `n_cells_out` nearest coarse cells for `vec_col`,
+    ordered nearest-first — an array of cell ids.  `centroids` is a
+    list of (cell_id, vector); they are baked in as LITERAL arrays so
+    assignment is a pure projection (whole-stage codegen, NO shuffle,
+    no broadcast round-trip) — the right shape when the corpus is
+    10^12 rows and the coarse codebook is a few hundred cells."""
+    cells = ", ".join(
+        f"named_struct('cell', {cid}, 'sim', {cosine_expr(vec_col, _lit_vec(v))})"
+        for cid, v in centroids)
+    ranked = (f"array_sort(array({cells}), (l, r) -> "
+              f"CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+              f"WHEN l.cell < r.cell THEN -1 ELSE 1 END)")
+    return (f"transform(slice({ranked}, 1, {n_cells_out}), c -> c.cell)")
+
+
+def ivf_centroids(items: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic coarse codebook: the `n_cells` vectors ranked
+    first by (md5(id), id) — a content-independent uniform draw that
+    every run and cluster size reproduces (same device as
+    curation.stratified_sample).  The collect is bounded metadata
+    (n_cells rows), like the broadcast KB in ops/rag.  A production
+    variant would run a few Lloyd iterations (groupBy(cell).avg) to
+    tighten cells; the probe/assign plumbing is identical."""
+    rows = (items
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_cells)
+            .select(vec_col)
+            .collect())
+    return [(i, list(r[0])) for i, r in enumerate(rows)]
+
+
+def ivf_topk(items: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids=None) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every item to its nearest
+    coarse cell, probe the `nprobe` nearest cells per query, score
+    exactly only inside probed cells.
+
+    Scale shape: item assignment is a narrow literal-codebook
+    projection; queries (small) explode to nprobe rows and are
+    **broadcast**, so the candidate generation is a broadcast-hash
+    equi-join on cell id — the only shuffle is the per-query top-k
+    window over candidates (|items| × nprobe / n_cells rows, not
+    |items| × |queries|)."""
+    cents = centroids or ivf_centroids(items, n_cells, id_col, vec_col)
+    it = items.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        F.expr(ivf_cells_expr(cents, vec_col, 1))[0].alias("cell"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(F.expr(ivf_cells_expr(cents, vec_col, nprobe)))
+        .alias("cell"))
+    scored = (it.join(F.broadcast(q), "cell")
+              .where("query_id != cand_id")
+              .withColumn("sim", F.expr(cosine_expr("qv", "cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "rank",
+                    F.round("sim", 6).alias("sim")))
+
+
 # ---------------------------------------------------------------------------
 # JVM-side hashed bag-of-words embedding (foundation for moving the
 # retrieval stage out of Python entirely — docs/PLAN_NEXT.md item 1)

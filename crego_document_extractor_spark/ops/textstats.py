@@ -86,6 +86,58 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.expr(expr))
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, computed doc-locally with
+    higher-order functions (a narrow projection — NO shuffle, the best
+    possible 100 TB shape; lines per document are bounded so the
+    O(lines²) local filter is cheap):
+
+    * ``n_lines``            — non-blank line count
+    * ``dup_line_frac``      — 1 − distinct/total lines
+    * ``dup_line_char_frac`` — fraction of line characters living in a
+      line that occurs more than once (the Gopher
+      duplicate-line-character filter)
+
+    Both fractions round to 4 places; all-integer sums keep the
+    division exact and engine-independent (oracle-checkable)."""
+    lines = f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l != '')"
+    n = f"size({lines})"
+    dup_frac = (f"CASE WHEN {n} = 0 THEN 0.0d ELSE "
+                f"1.0d - size(array_distinct({lines})) / "
+                f"cast({n} AS double) END")
+    dup_chars = (f"aggregate({lines}, 0, (a, l) -> a + "
+                 f"(CASE WHEN size(filter({lines}, x -> x = l)) > 1 "
+                 f"THEN length(l) ELSE 0 END))")
+    tot_chars = f"aggregate({lines}, 0, (a, l) -> a + length(l))"
+    dup_char_frac = f"{dup_chars} / cast(greatest({tot_chars}, 1) AS double)"
+    return (df.withColumn("n_lines", F.expr(n))
+            .withColumn("dup_line_frac", F.expr(f"round({dup_frac}, 4)"))
+            .withColumn("dup_line_char_frac",
+                        F.expr(f"round({dup_char_frac}, 4)")))
+
+
+def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level most-frequent word n-grams: (gram, n_occurrences,
+    n_docs), count-desc then gram-asc, LIMIT k.
+
+    Scale shape: explode grams → hash-aggregate.  ``count(*)`` gets
+    map-side partial aggregation, so a skew-hot gram ("of the") is
+    combined per map task before the shuffle — no salting needed for
+    pure counts.  The distinct-doc count rides the same aggregation
+    via the expand path.  Global top-k is a TakeOrdered (no total
+    sort)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    grams = (f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+             f"i -> concat_ws(' ', slice({toks}, i, {n})))")
+    return (df.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+            .limit(k))
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All of the above in one pass."""
     out = with_lang_guess(df, text_col)

@@ -308,3 +308,107 @@ def test_redact_pii_counts_and_rewrites(spark):
     assert got[1] == (2, "reach me at [EMAIL] or [PHONE] thanks")
     assert got[2][0] == 0 and got[2][1] == rows[1][1]
     assert got[3] == (2, "two mails [EMAIL] and [EMAIL]")
+
+
+def test_repetition_stats_dup_lines(spark):
+    """Doc-local Gopher repetition signals: exact fractions on a
+    hand-computed fixture; blank lines ignored; shuffle-free plan."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_repetition_stats)
+
+    rows = [(1, "aa bb\ncc dd\naa bb\n\nee"),   # 4 lines, 'aa bb' x2
+            (2, "one\ntwo\nthree"),             # no repetition
+            (3, "")]                            # degenerate
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["dup_line_frac"],
+                         r["dup_line_char_frac"])
+           for r in with_repetition_stats(df).collect()}
+    # doc 1: lines [aa bb, cc dd, aa bb, ee]; 3 distinct of 4;
+    # dup chars = 5+5 of 5+5+5+2=17
+    assert got[1] == (4, 0.25, round(10 / 17, 4))
+    assert got[2] == (3, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0)
+    plan = with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow projection, no shuffle
+
+
+def test_ngram_topk_counts(spark):
+    from crego_document_extractor_spark.ops.textstats import ngram_topk
+
+    rows = [(1, "a b a b c"), (2, "a b x")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = [(r["gram"], r["n_occurrences"], r["n_docs"])
+           for r in ngram_topk(df, n=2, k=3).collect()]
+    # bigrams doc1: a b, b a, a b, b c; doc2: a b, b x
+    assert got[0] == ("a b", 3, 2)
+    assert set(got[1:]) == {("b a", 1, 1), ("b c", 1, 1)} or got[1][1] == 1
+
+
+def test_contamination_report_and_drop(spark):
+    """Only docs sharing an n-gram with the eval set are reported;
+    drop_contaminated removes exactly those."""
+    from crego_document_extractor_spark.ops.curation import (
+        contamination_report, drop_contaminated)
+
+    evald = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix what is the capital of france paris obviously suffix"),
+         (2, "unrelated text about spark shuffles and joins here"),
+         (3, "what is the capital of france lyon maybe not sure")],
+        "doc_id int, text string")
+    rep = {r["doc_id"]: r["n_contam_grams"]
+           for r in contamination_report(corpus, evald, n=8).collect()}
+    assert set(rep) == {1}          # doc 3 shares only a 7-gram
+    assert rep[1] >= 1
+    kept = {r["doc_id"] for r in
+            drop_contaminated(corpus, evald, n=8).collect()}
+    assert kept == {2, 3}
+
+
+def test_epoch_shard_deterministic_and_uniform(spark):
+    """Shard/key reproduce hashlib.md5 exactly; partitioning-invariant;
+    different seeds give different permutations."""
+    import hashlib
+    from crego_document_extractor_spark.ops.curation import epoch_shard
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+           for r in epoch_shard(df, n_shards=8, seed=3).collect()}
+    for i in (0, 7, 123, 199):
+        key = hashlib.md5(f"3:{i}".encode()).hexdigest()
+        assert got[i] == (int(key[:4], 16) % 8, key)
+    again = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+             for r in epoch_shard(df.repartition(7), n_shards=8,
+                                  seed=3).collect()}
+    assert got == again
+    other = {r["doc_id"]: r["shuffle_key"]
+             for r in epoch_shard(df, n_shards=8, seed=4).collect()}
+    assert sorted(got, key=lambda i: got[i][1]) != \
+        sorted(other, key=lambda i: other[i])
+
+
+def test_ivf_topk_matches_brute_force_with_full_probe(spark):
+    """With nprobe == n_cells IVF degenerates to exact search — the
+    correctness anchor; with fewer probes it returns a subset ranked
+    identically."""
+    import random
+    from crego_document_extractor_spark.ops.similarity import (
+        brute_force_topk, ivf_topk)
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 3")
+    bf = {(r["query_id"], r["rank"]): r["cand_id"]
+          for r in brute_force_topk(df, q, k=5).collect()}
+    full = {(r["query_id"], r["rank"]): r["cand_id"]
+            for r in ivf_topk(df, q, k=5, n_cells=4, nprobe=4).collect()}
+    assert bf == full
+    part = ivf_topk(df, q, k=5, n_cells=4, nprobe=2)
+    sims = {r["query_id"]: [] for r in part.collect()}
+    for r in part.orderBy("query_id", "rank").collect():
+        sims[r["query_id"]].append(r["sim"])
+    for s in sims.values():   # ranked descending within each query
+        assert s == sorted(s, reverse=True)
