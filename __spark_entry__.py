@@ -544,6 +544,28 @@ def _q_redact_pii(spark, sf):
             .select("doc_id", "n_pii", F.md5("redacted").alias("redacted_md5")))
 
 
+def _q_domain_mix(spark, sf):
+    """Deterministic domain-mixture sampling (ops/curation.mix_by_source):
+    compose a 16-doc training mix at 3:1 between two sources; quotas
+    bind below the smallest per-source count at any sf, and the md5
+    ranking makes the exact selection oracle-reproducible."""
+    from crego_document_extractor_spark.ops.curation import mix_by_source
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return mix_by_source(d, {"src0": 3.0, "src1": 1.0}, budget=16)
+
+
+def _q_model_quality(spark, sf):
+    """Served linear quality classifier (ops/textstats.
+    with_model_quality_score): hash-derived token weights, sigmoid
+    score as a narrow JVM projection — the fastText-filter serving
+    shape with deterministic stand-in coefficients."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_model_quality_score)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (with_model_quality_score(d, bias=0.25)
+            .select("doc_id", "model_n_tokens", "model_quality_score"))
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher repetition signals (ops/textstats.with_repetition_stats)
     over a deterministically line-ified corpus: every 6 tokens become
@@ -1065,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rag_fallback": _q_rag_fallback,
         "q_stratified_sample": _q_stratified_sample,
         "q_redact_pii": _q_redact_pii,
+        "q_domain_mix": _q_domain_mix,
+        "q_model_quality": _q_model_quality,
         "q_repetition_stats": _q_repetition_stats,
         "q_ngram_topk": _q_ngram_topk,
         "q_decontaminate": _q_decontaminate,
@@ -1591,6 +1615,53 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                      '[EMAIL]', 'g'),
                      '\\b\\d{10,12}\\b', '[PHONE]', 'g')) AS redacted_md5
+            FROM s
+        """,
+        "q_domain_mix": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS mix_rank
+              FROM documents)
+            SELECT doc_id, source, mix_rank
+            FROM r
+            WHERE (source = 'src0' AND mix_rank <= 12)
+               OR (source = 'src1' AND mix_rank <= 4)
+        """,
+        "q_model_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(toks) AS model_n_tokens,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(toks, tk ->
+                         ((ascii(substr(md5(tk), 1, 1)) -
+                           CASE WHEN substr(md5(tk), 1, 1)
+                                BETWEEN '0' AND '9'
+                                THEN 48 ELSE 87 END) * 4096 +
+                          (ascii(substr(md5(tk), 2, 1)) -
+                           CASE WHEN substr(md5(tk), 2, 1)
+                                BETWEEN '0' AND '9'
+                                THEN 48 ELSE 87 END) * 256 +
+                          (ascii(substr(md5(tk), 3, 1)) -
+                           CASE WHEN substr(md5(tk), 3, 1)
+                                BETWEEN '0' AND '9'
+                                THEN 48 ELSE 87 END) * 16 +
+                          (ascii(substr(md5(tk), 4, 1)) -
+                           CASE WHEN substr(md5(tk), 4, 1)
+                                BETWEEN '0' AND '9'
+                                THEN 48 ELSE 87 END)) / 65535.0 - 0.5)),
+                       (a, b) -> a + b) AS sum_w
+              FROM t)
+            SELECT doc_id, model_n_tokens,
+                   round(1.0 / (1.0 + exp(-(0.25 + 8.0 *
+                     (sum_w / CAST(greatest(model_n_tokens, 1)
+                              AS DOUBLE))))), 6) AS model_quality_score
             FROM s
         """,
         "q_repetition_stats": """

@@ -42,6 +42,37 @@ def stratified_sample(df: DataFrame, n_per_stratum: int,
             .where(F.col("sample_rank") <= n_per_stratum))
 
 
+def mix_by_source(df: DataFrame, weights: dict, budget: int,
+                  source_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic domain-mixture sampling: compose a training set of
+    ~``budget`` documents whose per-``source_col`` proportions follow
+    ``weights`` (a small dict source → relative weight, normalized
+    here) — the data-mixing step every LLM pretraining run does
+    (Pile/Dolma-style source reweighting).
+
+    Per-source quota = floor(budget × weight / Σweights); inside each
+    source, documents rank by (md5(id), id) — the same
+    content-independent uniform device as `stratified_sample`, so the
+    selection is identical on every run, engine, and cluster size.
+    Sources absent from ``weights`` get quota 0 (dropped).  Scale
+    shape: the rank filter is split in two so Catalyst keeps the
+    map/reduce-side WindowGroupLimit prune (it requires a LITERAL
+    limit): `rank <= max(quota)` prunes every source to the largest
+    quota during the shuffle, then the per-source CASE quota refines —
+    no join anywhere."""
+    total = float(sum(weights.values()))
+    quotas = {s: int(budget * wgt / total) for s, wgt in weights.items()}
+    quota = F.lit(0)
+    for src, q in sorted(quotas.items()):
+        quota = F.when(F.col(source_col) == src, F.lit(q)).otherwise(quota)
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (df.withColumn("mix_rank", F.row_number().over(w))
+            .where(F.col("mix_rank") <= max(quotas.values(), default=0))
+            .where(F.col("mix_rank") <= quota))
+
+
 def _word_ngrams(text_col: str, n: int) -> str:
     """SQL: distinct lowercase word n-grams of `text_col`."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"

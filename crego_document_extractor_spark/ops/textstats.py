@@ -138,6 +138,43 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
             .limit(k))
 
 
+def _tok_weight(tok: str) -> str:
+    """SQL: deterministic per-token weight in [-0.5, 0.5] — the value
+    of the token's first 16 md5 bits, scaled.  ascii() arithmetic so
+    Spark and a DuckDB oracle compute the identical double."""
+    hx = [f"substring(md5({tok}), {i}, 1)" for i in (1, 2, 3, 4)]
+    val = " + ".join(
+        f"(ascii({c}) - CASE WHEN {c} BETWEEN '0' AND '9' "
+        f"THEN 48 ELSE 87 END) * {m}"
+        for c, m in zip(hx, (4096, 256, 16, 1)))
+    return f"(({val}) / 65535.0d - 0.5d)"
+
+
+def with_model_quality_score(df: DataFrame, text_col: str = "text",
+                             bias: float = 0.0,
+                             gain: float = 8.0) -> DataFrame:
+    """Model-based quality scoring: serve a linear bag-of-words text
+    classifier (the fastText-style quality filter of CCNet/Dolma
+    pipelines) as a pure JVM projection.
+
+    score = sigmoid(bias + gain · mean(weight(token))) — a narrow,
+    shuffle-free expression, the best possible 100 TB shape.  The
+    per-token weights here are hash-derived (md5 → [-0.5, 0.5]):
+    a deterministic stand-in for trained coefficients, since no model
+    artifact ships in this sandbox; serving a real model swaps
+    `_tok_weight` for a lookup into a broadcast vocab→weight map
+    (see `with_rag_fallback`'s broadcast KB for the device) with the
+    hash weight as the OOV fallback.  Adds ``model_n_tokens`` and
+    ``model_quality_score`` (rounded to 6, oracle-checkable)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    mean_w = (f"aggregate({toks}, 0.0d, (a, t) -> a + {_tok_weight('t')}) "
+              f"/ cast(greatest(size({toks}), 1) AS double)")
+    logit = f"({bias!r}d + {gain!r}d * ({mean_w}))"
+    return (df.withColumn("model_n_tokens", F.expr(f"size({toks})"))
+            .withColumn("model_quality_score",
+                        F.expr(f"round(1.0d / (1.0d + exp(-{logit})), 6)")))
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All of the above in one pass."""
     out = with_lang_guess(df, text_col)

@@ -412,3 +412,53 @@ def test_ivf_topk_matches_brute_force_with_full_probe(spark):
         sims[r["query_id"]].append(r["sim"])
     for s in sims.values():   # ranked descending within each query
         assert s == sorted(s, reverse=True)
+
+
+def test_mix_by_source_quotas_and_determinism(spark):
+    """Per-source quotas follow the weights; selection reproduces
+    hashlib md5 ranking; unknown sources are dropped."""
+    import hashlib
+    from crego_document_extractor_spark.ops.curation import mix_by_source
+
+    rows = [(i, "web" if i < 60 else ("books" if i < 90 else "junk"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_by_source(df, {"web": 3.0, "books": 1.0}, budget=40).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["web"]) == 30 and len(by_src["books"]) == 10
+    assert "junk" not in by_src
+    exp_web = sorted((i for i in range(60)),
+                     key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                    i))[:30]
+    assert sorted(by_src["web"]) == sorted(exp_web)
+    again = mix_by_source(df.repartition(7), {"web": 3.0, "books": 1.0},
+                          budget=40).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in again) == \
+        sorted((r["source"], r["doc_id"]) for r in out)
+
+
+def test_model_quality_score_matches_python(spark):
+    """The served linear model reproduces a pure-Python evaluation of
+    the same hash weights; empty text degrades to sigmoid(bias)."""
+    import hashlib
+    import math
+    from crego_document_extractor_spark.ops.textstats import (
+        with_model_quality_score)
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) / 65535.0 - 0.5
+
+    rows = [(1, "The quick Brown fox"), (2, "spark   shuffle"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["model_n_tokens"], r["model_quality_score"])
+           for r in with_model_quality_score(df, bias=0.5).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        mean_w = sum(w(t) for t in toks) / max(len(toks), 1)
+        exp = round(1.0 / (1.0 + math.exp(-(0.5 + 8.0 * mean_w))), 6)
+        assert got[doc_id] == (len(toks), exp), doc_id
+    plan = with_model_quality_score(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # narrow projection, no shuffle
