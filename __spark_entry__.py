@@ -544,6 +544,28 @@ def _q_redact_pii(spark, sf):
             .select("doc_id", "n_pii", F.md5("redacted").alias("redacted_md5")))
 
 
+def _q_boilerplate(spark, sf):
+    """CCNet-style boilerplate-line removal (ops/curation.
+    remove_boilerplate_lines) over a deterministically line-ified
+    corpus where doc_id % 4 == 0 docs carry a shared footer line —
+    the census finds exactly the corpus-wide lines, the broadcast
+    filter strips them, and DuckDB rebuilds the identical census."""
+    from crego_document_extractor_spark.ops.curation import (
+        remove_boilerplate_lines)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = "split(text, ' ')"
+    lines = (f"transform(sequence(1, cast(ceil(size({toks}) / 6.0) AS int)), "
+             f"i -> concat_ws(' ', slice({toks}, (i - 1) * 6 + 1, 6)))")
+    ml = (f"array_join(CASE WHEN doc_id % 4 = 0 "
+          f"THEN concat({lines}, "
+          f"array('subscribe to our newsletter today')) "
+          f"ELSE {lines} END, '\\n')")
+    seeded = d.withColumn("text", F.expr(ml))
+    return (remove_boilerplate_lines(seeded, min_docs=50)
+            .select("doc_id", "n_removed_lines",
+                    F.md5("text").alias("clean_md5")))
+
+
 def _q_domain_mix(spark, sf):
     """Deterministic domain-mixture sampling (ops/curation.mix_by_source):
     compose a 16-doc training mix at 3:1 between two sources; quotas
@@ -1087,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rag_fallback": _q_rag_fallback,
         "q_stratified_sample": _q_stratified_sample,
         "q_redact_pii": _q_redact_pii,
+        "q_boilerplate": _q_boilerplate,
         "q_domain_mix": _q_domain_mix,
         "q_model_quality": _q_model_quality,
         "q_repetition_stats": _q_repetition_stats,
@@ -1616,6 +1639,38 @@ def oracle_sql() -> dict[str, str]:
                      '[EMAIL]', 'g'),
                      '\\b\\d{10,12}\\b', '[PHONE]', 'g')) AS redacted_md5
             FROM s
+        """,
+        "q_boilerplate": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            l0 AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, CAST(ceil(len(toks) / 6.0) AS INT) + 1),
+                       i -> array_to_string(
+                              toks[(i - 1) * 6 + 1:(i - 1) * 6 + 6], ' '))
+                       AS lines
+              FROM t),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN list_append(lines,
+                            'subscribe to our newsletter today')
+                          ELSE lines END AS lines
+              FROM l0),
+            census AS (
+              SELECT line FROM (
+                SELECT unnest(list_distinct(lines)) AS line FROM l)
+              GROUP BY line HAVING count(*) >= 50),
+            bl AS (SELECT coalesce(list(line), []) AS s FROM census)
+            SELECT doc_id,
+                   len(lines) - len(list_filter(lines,
+                     ln -> NOT list_contains(s, ln))) AS n_removed_lines,
+                   md5(array_to_string(list_filter(lines,
+                     ln -> NOT list_contains(s, ln)), chr(10)))
+                     AS clean_md5
+            FROM l, bl
         """,
         "q_domain_mix": """
             WITH r AS (

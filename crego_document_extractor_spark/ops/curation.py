@@ -73,6 +73,56 @@ def mix_by_source(df: DataFrame, weights: dict, budget: int,
             .where(F.col("mix_rank") <= quota))
 
 
+def _doc_lines(text_col: str) -> str:
+    """SQL: trimmed non-blank lines of `text_col` (same normalization
+    as textstats.with_repetition_stats)."""
+    return (f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), "
+            f"l -> l != '')")
+
+
+def boilerplate_lines(df: DataFrame, min_docs: int = 10,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide boilerplate census: (line, n_docs) for every
+    normalized line appearing in at least `min_docs` distinct
+    documents — cookie banners, nav bars, footers.  Per-doc lines are
+    array_distinct'd BEFORE the explode, so n_docs is a plain count(*)
+    (map-side combinable) rather than a count-distinct expand."""
+    return (df.select(F.explode(
+                F.expr(f"array_distinct({_doc_lines(text_col)})"))
+                .alias("line"))
+            .groupBy("line")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def remove_boilerplate_lines(df: DataFrame, min_docs: int = 10,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style terminal boilerplate removal: strip every line that
+    `boilerplate_lines` flags, preserving the order of surviving
+    lines; text is re-normalized to trimmed non-blank lines joined by
+    newlines.  Adds ``n_removed_lines``.
+
+    Scale shape: the census aggregate's OUTPUT (lines above a high
+    doc-frequency threshold — small by construction) collapses to one
+    array row and is **broadcast**, so the removal pass is a narrow
+    per-doc HOF filter — the corpus itself never shuffles.  The
+    per-line membership probe is O(|census|); for a census too big to
+    broadcast, swap the crossJoin for the posexplode → anti-join →
+    re-assemble form (the same reassembly the per-page PDF ingest
+    proves partition-invariant)."""
+    census = (boilerplate_lines(df, min_docs, text_col, id_col)
+              .agg(F.collect_list("line").alias("_bl")))
+    lines = _doc_lines(text_col)
+    kept = f"filter({lines}, l -> NOT array_contains(_bl, l))"
+    return (df.crossJoin(F.broadcast(census))
+            .withColumn("n_removed_lines",
+                        F.expr(f"size({lines}) - size({kept})"))
+            .withColumn(text_col, F.expr(f"array_join({kept}, '\\n')"))
+            .drop("_bl"))
+
+
 def _word_ngrams(text_col: str, n: int) -> str:
     """SQL: distinct lowercase word n-grams of `text_col`."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"

@@ -128,6 +128,39 @@ def ivf_centroids(items: DataFrame, n_cells: int = 16,
     return [(i, list(r[0])) for i, r in enumerate(rows)]
 
 
+def ivf_train(items: DataFrame, n_cells: int = 16, n_iter: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Lloyd-refined coarse codebook: seed with `ivf_centroids`, then
+    `n_iter` k-means steps.  Each step is ONE distributed pass —
+    assign every vector to its nearest cell (the same literal-codebook
+    codegen projection `ivf_topk` uses, no shuffle) and reduce to
+    per-cell mean vectors with posexplode(vec) → groupBy(cell, dim)
+    hash aggregate (map-side partial sums; shuffle size = n_cells ×
+    dim, independent of corpus size).  The driver only ever holds the
+    codebook itself (n_cells × dim floats) — bounded metadata, like
+    the seeding collect.  Empty cells keep their previous centroid so
+    the codebook size is stable."""
+    cents = ivf_centroids(items, n_cells, id_col, vec_col)
+    for _ in range(n_iter):
+        # cell materializes BEFORE the explode — listed in the same
+        # select it would sit in the Project above Generate and be
+        # re-evaluated once per vector element (round-3 pitfall)
+        assigned = (items
+                    .withColumn("cell",
+                                F.expr(ivf_cells_expr(cents, vec_col, 1))[0])
+                    .select("cell",
+                            F.posexplode(F.col(vec_col)).alias("dim", "x")))
+        means = (assigned.groupBy("cell", "dim")
+                 .agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                      .alias("dm"))
+                 .collect())
+        new = {r["cell"]: [d["m"] for d in r["dm"]] for r in means}
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return cents
+
+
 def ivf_topk(items: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

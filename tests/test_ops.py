@@ -462,3 +462,57 @@ def test_model_quality_score_matches_python(spark):
     plan = with_model_quality_score(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # narrow projection, no shuffle
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines in >= min_docs distinct docs are stripped everywhere,
+    order of survivors preserved, in-doc repeats don't inflate the
+    census, and a census-free corpus passes through normalized."""
+    from crego_document_extractor_spark.ops.curation import (
+        boilerplate_lines, remove_boilerplate_lines)
+
+    rows = [(1, "accept cookies\nreal content one\naccept cookies"),
+            (2, "accept cookies\nreal content two"),
+            (3, "  accept cookies  \nunique line"),
+            (4, "totally original")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    census = {r["line"]: r["n_docs"]
+              for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert census == {"accept cookies": 3}  # doc 1's repeat counts once
+    got = {r["doc_id"]: (r["text"], r["n_removed_lines"])
+           for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert got[1] == ("real content one", 2)
+    assert got[2] == ("real content two", 1)
+    assert got[3] == ("unique line", 1)
+    assert got[4] == ("totally original", 0)
+    clean = remove_boilerplate_lines(df, min_docs=99).collect()
+    assert all(r["n_removed_lines"] == 0 for r in clean)
+
+
+def test_ivf_train_lloyd_converges(spark):
+    """On two planted clusters, one Lloyd pass lands one centroid in
+    each cluster (mean of assigned members); codebook size is stable
+    even with empty cells; refined centroids keep full-probe exactness."""
+    import random
+    from crego_document_extractor_spark.ops.similarity import (
+        brute_force_topk, ivf_topk, ivf_train)
+
+    rnd = random.Random(5)
+    rows = []
+    for i in range(60):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + rnd.uniform(-0.05, 0.05) for _ in range(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_train(df, n_cells=2, n_iter=2)
+    assert len(cents) == 2 and all(len(v) == 4 for _, v in cents)
+    signs = sorted(1 if sum(v) > 0 else -1 for _, v in cents)
+    assert signs == [-1, 1]          # one centroid per planted cluster
+    for _, v in cents:               # tight: every dim near +-1
+        assert all(abs(abs(x) - 1.0) < 0.1 for x in v)
+    q = df.where("vec_id < 2")
+    bf = {(r["query_id"], r["rank"]): r["cand_id"]
+          for r in brute_force_topk(df, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["cand_id"]
+            for r in ivf_topk(df, q, k=3, n_cells=2, nprobe=2,
+                              centroids=cents).collect()}
+    assert bf == full
