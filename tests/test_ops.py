@@ -516,3 +516,16 @@ def test_ivf_train_lloyd_converges(spark):
             for r in ivf_topk(df, q, k=3, n_cells=2, nprobe=2,
                               centroids=cents).collect()}
     assert bf == full
+
+
+def test_mix_by_source_window_group_limit_plan(spark):
+    """The split rank filter keeps Catalyst's WindowGroupLimit prune
+    (a literal limit is required for it) — the property that bounds
+    per-source shuffle volume at corpus scale."""
+    from crego_document_extractor_spark.ops.curation import mix_by_source
+
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(30)],
+                               "doc_id long, source string")
+    plan = mix_by_source(df, {"s0": 2.0, "s1": 1.0}, budget=9)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
