@@ -544,6 +544,58 @@ def _q_redact_pii(spark, sf):
             .select("doc_id", "n_pii", F.md5("redacted").alias("redacted_md5")))
 
 
+def _q_dedup_canonical(spark, sf):
+    """Cluster collapse to canonical survivors (ops/dedup.
+    keep_canonical): the verified near-dup clusters of the capped
+    slice (same derivation as q_dedup_clusters) keep ONE doc each —
+    highest n_chars, ties to the smaller id — and unclustered slice
+    docs pass through.  The oracle recomputes the identical survivor
+    set with arg_max over the recursive-CTE components."""
+    from crego_document_extractor_spark.ops.dedup import (
+        duplicate_clusters, keep_canonical, minhash_candidate_pairs,
+        ngram_jaccard_pairs)
+    d = _dedup_slice(spark, sf)
+    cand = (minhash_candidate_pairs(d, n_hashes=16, bands=8, shingle_k=1)
+            .unionByName(_dedup_safety_net(d)))
+    pairs = (ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+             .select("d1", "d2"))
+    clusters = duplicate_clusters(pairs)
+    docs = (_t(spark, sf, "documents")
+            .join(d.select("doc_id"), "doc_id")
+            .select("doc_id", "n_chars"))
+    return keep_canonical(docs, clusters, quality_col="n_chars")
+
+
+def _q_encoding_flags(spark, sf):
+    """Encoding triage (ops/textstats.with_encoding_flags) over a
+    deterministically polluted corpus: doc_id % 5 == 0 docs get a
+    mojibake suffix, doc_id % 7 == 0 get U+FFFD replacement chars —
+    so every counter and the encoding_ok verdict are non-vacuous."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_encoding_flags)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.withColumn("text", F.expr(
+        "concat(text, "
+        "CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© menÃ¼' ELSE '' END, "
+        "CASE WHEN doc_id % 7 = 0 THEN ' x�y�' "
+        "ELSE '' END)"))
+    return (with_encoding_flags(seeded)
+            .select("doc_id", "n_mojibake", "n_replacement",
+                    "nonprint_ratio", "encoding_ok"))
+
+
+def _q_corpus_scorecard(spark, sf):
+    """Per-source corpus health dashboard (ops/textstats.
+    corpus_scorecard): lang-ID + heuristic quality profiled in one
+    narrow projection, aggregated per source.  Every averaged quantity
+    is exactly representable (quarter-step quality, integer tokens,
+    0/1 en flags), so the DuckDB reproduction is float-order-proof."""
+    from crego_document_extractor_spark.ops.textstats import (
+        corpus_scorecard)
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    return corpus_scorecard(d)
+
+
 def _q_boilerplate(spark, sf):
     """CCNet-style boilerplate-line removal (ops/curation.
     remove_boilerplate_lines) over a deterministically line-ified
@@ -1109,6 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rag_fallback": _q_rag_fallback,
         "q_stratified_sample": _q_stratified_sample,
         "q_redact_pii": _q_redact_pii,
+        "q_dedup_canonical": _q_dedup_canonical,
+        "q_encoding_flags": _q_encoding_flags,
+        "q_corpus_scorecard": _q_corpus_scorecard,
         "q_boilerplate": _q_boilerplate,
         "q_domain_mix": _q_domain_mix,
         "q_model_quality": _q_model_quality,
@@ -1639,6 +1694,142 @@ def oracle_sql() -> dict[str, str]:
                      '[EMAIL]', 'g'),
                      '\\b\\d{10,12}\\b', '[PHONE]', 'g')) AS redacted_md5
             FROM s
+        """,
+        "q_dedup_canonical": """
+            WITH RECURSIVE
+                 k AS (SELECT greatest(10, CAST(ceil(count(*) / 60.0)
+                              AS BIGINT)) AS k
+                       FROM documents),
+                 d AS (SELECT doc_id,
+                              list_distinct(string_split(text, ' ')) AS toks
+                       FROM documents
+                       WHERE doc_id % (SELECT k FROM k) = 0),
+                 t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+                 sizes AS (SELECT doc_id, len(toks) AS n FROM d),
+                 p AS (
+                   SELECT a.doc_id AS d1, b.doc_id AS d2,
+                          count(*) AS common
+                   FROM t a JOIN t b
+                     ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+                 vp AS (
+                   SELECT d1, d2 FROM p
+                   JOIN sizes s1 ON s1.doc_id = d1
+                   JOIN sizes s2 ON s2.doc_id = d2
+                   WHERE common / (s1.n + s2.n - common) >= 0.8),
+                 e AS (SELECT d1 AS u, d2 AS v FROM vp
+                       UNION SELECT d2, d1 FROM vp),
+                 reach(u, label) AS (
+                   SELECT u, u FROM (SELECT DISTINCT u FROM e) nodes
+                   UNION
+                   SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.u),
+                 cl AS (SELECT u AS doc_id, min(label) AS cluster_id
+                        FROM reach GROUP BY u),
+                 docs AS (SELECT doc_id, n_chars FROM documents
+                          WHERE doc_id % (SELECT k FROM k) = 0),
+                 j AS (SELECT docs.doc_id, docs.n_chars, cl.cluster_id
+                       FROM docs LEFT JOIN cl USING (doc_id)),
+                 keepers AS (
+                   SELECT cluster_id, doc_id AS keep_id FROM (
+                     SELECT cluster_id, doc_id,
+                            row_number() OVER (
+                              PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+                     FROM j WHERE cluster_id IS NOT NULL)
+                   WHERE rn = 1)
+            SELECT j.doc_id, j.n_chars
+            FROM j LEFT JOIN keepers USING (cluster_id)
+            WHERE j.cluster_id IS NULL OR j.doc_id = keepers.keep_id
+        """,
+        "q_encoding_flags": """
+            WITH s AS (
+              SELECT doc_id, text ||
+                (CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© menÃ¼'
+                      ELSE '' END) ||
+                (CASE WHEN doc_id % 7 = 0
+                      THEN ' x' || chr(65533) || 'y' || chr(65533)
+                      ELSE '' END) AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id, text,
+                     (len(string_split(text, 'Ã©')) - 1) +
+                     (len(string_split(text, 'Ã¨')) - 1) +
+                     (len(string_split(text, 'Ã¢')) - 1) +
+                     (len(string_split(text, 'Ã±')) - 1) +
+                     (len(string_split(text, 'Ã¼')) - 1) +
+                     (len(string_split(text, 'Ã¶')) - 1) +
+                     (len(string_split(text, 'Ã¤')) - 1) +
+                     (len(string_split(text, 'â€™')) - 1) +
+                     (len(string_split(text, 'â€œ')) - 1) +
+                     (len(string_split(text, 'â€')) - 1) +
+                     (len(string_split(text, 'â€“')) - 1) +
+                     (len(string_split(text, 'Â ')) - 1) AS n_mojibake,
+                     (len(string_split(text, chr(65533))) - 1)
+                       AS n_replacement,
+                     length(regexp_replace(text,
+                       '[\\x20-\\x7e\\x09\\x0a\\x0d]', '', 'g')) /
+                       CAST(greatest(length(text), 1) AS DOUBLE) AS np
+              FROM s)
+            SELECT doc_id, n_mojibake, n_replacement,
+                   round(np, 4) AS nonprint_ratio,
+                   (n_mojibake = 0 AND n_replacement = 0 AND np < 0.30)
+                     AS encoding_ok
+            FROM m
+        """,
+        "q_corpus_scorecard": """
+            WITH t AS (
+              SELECT source,
+                     len(regexp_split_to_array(text, '\\s+')) AS n_toks,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+                       CAST(greatest(length(text), 1) AS DOUBLE)
+                       AS alpha_ratio,
+                     len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> lower(x) IN ('the', 'a', 'an', 'of', 'and',
+                                         'to', 'in', 'is', 'on', 'for')))
+                       / CAST(greatest(len(regexp_split_to_array(text,
+                           '\\s+')), 1) AS DOUBLE) AS stop_ratio,
+                     length(replace(text, ' ', '')) /
+                       CAST(greatest(len(regexp_split_to_array(text,
+                         '\\s+')), 1) AS DOUBLE) AS mean_word,
+                     (len(string_split(text, 'the ')) - 1) +
+                     (len(string_split(text, ' and ')) - 1) +
+                     (len(string_split(text, ' of ')) - 1) AS h_en,
+                     (len(string_split(text, 'der ')) - 1) +
+                     (len(string_split(text, ' und ')) - 1) +
+                     (len(string_split(text, ' die ')) - 1) AS h_de,
+                     (len(string_split(text, ' le ')) - 1) +
+                     (len(string_split(text, ' et ')) - 1) +
+                     (len(string_split(text, ' les ')) - 1) AS h_fr,
+                     (len(string_split(text, ' el ')) - 1) +
+                     (len(string_split(text, ' de los ')) - 1) +
+                     (len(string_split(text, ' y ')) - 1) AS h_es
+              FROM documents),
+            q AS (
+              SELECT source, n_toks,
+                     (CASE WHEN n_toks BETWEEN 10 AND 100000
+                           THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN alpha_ratio >= 0.6
+                           THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN stop_ratio >= 0.01
+                           THEN 0.25 ELSE 0.0 END) +
+                     (CASE WHEN mean_word BETWEEN 2.0 AND 12.0
+                           THEN 0.25 ELSE 0.0 END) AS quality,
+                     CASE
+                       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                         THEN (CASE WHEN h_de > 0 THEN 'de' ELSE 'und' END)
+                       WHEN h_en >= h_es AND h_en >= h_fr
+                         THEN (CASE WHEN h_en > 0 THEN 'en' ELSE 'und' END)
+                       WHEN h_es >= h_fr
+                         THEN (CASE WHEN h_es > 0 THEN 'es' ELSE 'und' END)
+                       ELSE (CASE WHEN h_fr > 0 THEN 'fr' ELSE 'und' END)
+                     END AS lang
+              FROM t)
+            SELECT source, count(*) AS n_docs,
+                   round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END),
+                         4) AS en_share,
+                   round(avg(quality), 4) AS avg_quality,
+                   round(avg(n_toks), 2) AS avg_tokens
+            FROM q GROUP BY source
         """,
         "q_boilerplate": """
             WITH t AS (

@@ -253,3 +253,38 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(df: DataFrame, clusters: DataFrame,
+                   quality_col: str = None,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Collapse each near-dup cluster to ONE surviving document — the
+    consumption step after `duplicate_clusters`.
+
+    Canonical rule: highest ``quality_col`` wins (ties → smallest id);
+    without a quality column, the cluster label itself (= minimum
+    reachable id) picks, so docs outside any cluster pass through
+    UNTOUCHED by a left join — no rank work for the unclustered
+    majority.  Scale shape: `clusters` is one slim row per doc that
+    appears in any pair (orders smaller than the corpus), so AQE
+    resolves the left join broadcast; the per-cluster argmax is a
+    max_by over the small clustered slice only."""
+    cl = clusters.withColumnRenamed("doc_id", id_col)
+    joined = df.join(cl, id_col, "left")
+    if quality_col is None:
+        return (joined
+                .where(F.col("cluster_id").isNull() |
+                       (F.col(id_col) == F.col("cluster_id")))
+                .drop("cluster_id"))
+    # quality-aware: pick argmax(quality, then -id) inside each cluster
+    best = (joined.where(F.col("cluster_id").isNotNull())
+            .groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col(quality_col).alias("q"),
+                                (-F.col(id_col)).alias("negid")))
+                 .alias("b"))
+            .select("cluster_id",
+                    (-F.col("b.negid")).alias("_keep_id")))
+    return (joined.join(best, "cluster_id", "left")
+            .where(F.col("cluster_id").isNull() |
+                   (F.col(id_col) == F.col("_keep_id")))
+            .drop("cluster_id", "_keep_id"))

@@ -175,6 +175,64 @@ def with_model_quality_score(df: DataFrame, text_col: str = "text",
                         F.expr(f"round(1.0d / (1.0d + exp(-{logit})), 6)")))
 
 
+#: classic UTF-8-read-as-latin-1 digraphs — plain literals, so the
+#: census means the same thing in Spark and any RE2-based oracle
+MOJIBAKE_MARKERS = ("Ã©", "Ã¨", "Ã¢", "Ã±", "Ã¼", "Ã¶", "Ã¤",
+                    "â€™", "â€œ", "â€", "â€“", "Â ")
+
+
+def with_encoding_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-health signals (the ftfy-style triage a web corpus
+    needs before training) as a narrow JVM projection:
+
+    * ``n_mojibake``      — occurrences of classic double-encoded
+      UTF-8 digraphs (literal census, portable to any oracle engine)
+    * ``n_replacement``   — U+FFFD replacement characters
+    * ``nonprint_ratio``  — chars outside printable ASCII + TAB/LF/CR,
+      as a fraction (single-byte hex classes, valid in Java regex AND
+      RE2)
+    * ``encoding_ok``     — no mojibake, no replacement chars, and
+      nonprint_ratio < 0.30 (CJK corpora legitimately exceed this —
+      tune per corpus)
+    """
+    moji = " + ".join(
+        f"(size(split({text_col}, '{m}', -1)) - 1)"
+        for m in MOJIBAKE_MARKERS)
+    repl = f"(size(split({text_col}, '\\uFFFD', -1)) - 1)"
+    nonp = (f"length(regexp_replace({text_col}, "
+            f"'[\\\\x20-\\\\x7e\\\\x09\\\\x0a\\\\x0d]', '')) / "
+            f"cast(greatest(length({text_col}), 1) AS double)")
+    return (df.withColumn("n_mojibake", F.expr(moji))
+            .withColumn("n_replacement", F.expr(repl))
+            .withColumn("nonprint_ratio", F.expr(f"round({nonp}, 4)"))
+            .withColumn("encoding_ok", F.expr(
+                f"({moji}) = 0 AND {repl} = 0 AND {nonp} < 0.30d")))
+
+
+def corpus_scorecard(df: DataFrame, text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Per-source corpus health dashboard — the monitoring aggregate a
+    curation pipeline publishes each ingest batch: document count,
+    English share (via `with_lang_guess`), mean heuristic quality
+    (via `with_quality_score`), mean whitespace-token count.
+
+    One narrow profiling projection → one hash aggregate keyed by
+    `group_col` (map-side partials; output is sources × 4 doubles —
+    bounded metadata).  All averaged quantities are exactly
+    representable (quality is quarter-steps, the rest integers), so
+    the averages are float-order-independent and oracle-exact."""
+    p = with_quality_score(with_lang_guess(df, text_col), text_col)
+    return (p.groupBy(group_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg((F.col("lang_guess") == "en")
+                               .cast("double")), 4).alias("en_share"),
+                 # quality_score is DECIMAL (0.25 literals) — cast so
+                 # the published average is a plain double
+                 F.round(F.avg(F.col("quality_score").cast("double")), 4)
+                 .alias("avg_quality"),
+                 F.round(F.avg("n_tokens"), 2).alias("avg_tokens")))
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All of the above in one pass."""
     out = with_lang_guess(df, text_col)

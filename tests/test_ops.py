@@ -529,3 +529,61 @@ def test_mix_by_source_window_group_limit_plan(spark):
     plan = mix_by_source(df, {"s0": 2.0, "s1": 1.0}, budget=9)._jdf \
         .queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_encoding_flags(spark):
+    """Mojibake digraphs, replacement chars, and non-printable ratio
+    are counted exactly; clean ASCII passes."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_encoding_flags)
+
+    rows = [(1, "cafÃ© menu â€™tis"),  # Ã© + â€™
+            (2, "plain ascii text"),
+            (3, "bad � byte �"),
+            (4, "tab\tand\nnewline ok")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_mojibake"], r["n_replacement"],
+                         r["encoding_ok"])
+           for r in with_encoding_flags(df).collect()}
+    assert got[1][0] >= 2 and not got[1][2]
+    assert got[2] == (0, 0, True)
+    assert got[3] == (0, 2, False)
+    assert got[4] == (0, 0, True)
+    plan = with_encoding_flags(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_scorecard(spark):
+    """Per-source aggregate over the lang/quality profile; all
+    averaged quantities exactly representable."""
+    from crego_document_extractor_spark.ops.textstats import (
+        corpus_scorecard)
+
+    en = "the cat sat on the mat and the dog ran to the park"
+    de = "der hund und die katze und der vogel"
+    rows = [(1, "a", en), (2, "a", en), (3, "a", de), (4, "b", en)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {r["source"]: (r["n_docs"], r["en_share"], r["avg_tokens"])
+           for r in corpus_scorecard(df).collect()}
+    assert got["a"][0] == 3 and abs(got["a"][1] - round(2 / 3, 4)) < 1e-9
+    assert got["a"][2] == round((13 + 13 + 8) / 3, 2)
+    assert got["b"] == (1, 1.0, 13.0)
+
+
+def test_keep_canonical(spark):
+    """Cluster collapse: min-id rule without quality, argmax rule with;
+    unclustered docs always pass through."""
+    from crego_document_extractor_spark.ops.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (9, 0.4)],
+        "doc_id long, q double")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long")
+    kept = {r["doc_id"] for r in keep_canonical(docs, clusters).collect()}
+    assert kept == {1, 7, 9}
+    kept_q = {r["doc_id"]
+              for r in keep_canonical(docs, clusters,
+                                      quality_col="q").collect()}
+    assert kept_q == {2, 7, 9}   # 0.9 tie between 2 and 3 -> smaller id
