@@ -122,7 +122,13 @@ def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     from .extract.retrieval import candidate_pool, retrieve_rows
 
     for pdf in _parse_batches(batches):
-        yield pdf.assign(retr=[
+        # slim the fused payload: the extraction consumers never read
+        # clean_spans / n_spans (crif uses tables+chunks+retr, gstr
+        # adds text), and the per-element pandas→Arrow conversion of
+        # the span structs is pure overhead on the flagship's only
+        # Python stage — plain parses keep the full schema for the
+        # span-equality deliverable
+        yield pdf.drop(columns=["clean_spans", "n_spans"]).assign(retr=[
             retrieve_rows(candidate_pool(kind, tables, chunks))
             for kind, tables, chunks in zip(
                 pdf["doc_kind"], pdf["tables"], pdf["chunks"])
@@ -144,7 +150,9 @@ def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
     if fuse_retrieval:
         from .extract.retrieval import RETR_TYPE
         schema = T.StructType(
-            list(PARSED_SCHEMA.fields) + [T.StructField("retr", RETR_TYPE)])
+            [f for f in PARSED_SCHEMA.fields
+             if f.name not in ("clean_spans", "n_spans")]
+            + [T.StructField("retr", RETR_TYPE)])
         return docs.mapInPandas(_parse_retr_batches, schema=schema)
     return docs.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
 
