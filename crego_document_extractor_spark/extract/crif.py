@@ -268,7 +268,17 @@ def _with_accounts(df: DataFrame, carry: list[str],
 def _with_tables(df: DataFrame) -> DataFrame:
     """Table-signature report values (crif_parser.py:28-127) — narrow
     higher-order exprs over the small per-doc tables array; the summary
-    struct is flattened to primitive columns (see _SUMMARY_FIELDS)."""
+    struct is flattened to primitive columns (see _SUMMARY_FIELDS).
+
+    The FUSED parse stage pre-flattens these in Python (semantics
+    account_summary/bureau_score/credit_inquiries — the same
+    definitions the oracle proves equal to these SQL forms), saving
+    the interpreted-HOF evaluation here; when those columns are
+    already present this is a no-op and the SQL forms below stay the
+    sql engine's (and legacy path's) implementation, cross-checked
+    end-to-end by the A9b agreement query."""
+    if "rep_score" in df.columns:
+        return df
     df = (df.withColumn("rep_score", F.expr(X.doc_score()))
           .withColumn("rep_summary", F.expr(X.doc_summary()))
           .withColumn("rep_inquiries", F.expr(X.doc_inquiries())))

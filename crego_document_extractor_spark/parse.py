@@ -122,6 +122,23 @@ def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     from .extract.retrieval import candidate_pool, retrieve_rows
 
     for pdf in _parse_batches(batches):
+        # pre-flatten the report-level table-signature values here —
+        # measured ~4 s of interpreted-HOF JVM CPU per 160k docs when
+        # computed by the SQL forms (X.doc_score/doc_summary/
+        # doc_inquiries); the Python cost is ~µs/doc over the tiny
+        # per-doc tables array.  The SQL forms remain the sql engine's
+        # path, so the A9b agreement harness now cross-checks the two
+        # implementations end-to-end.
+        summaries = [S.account_summary(t) for t in pdf["tables"]]
+        rep = {
+            "rep_score": [S.bureau_score(t) for t in pdf["tables"]],
+            "rep_inquiries": [S.credit_inquiries(t)
+                              for t in pdf["tables"]],
+        }
+        for fld in ("total_accounts", "active_accounts",
+                    "total_current_balance", "total_overdue_amount",
+                    "total_writeoff_amount"):
+            rep[f"rep_sum_{fld}"] = [s[fld] for s in summaries]
         # slim the fused payload: the extraction consumers never read
         # clean_spans / n_spans (crif uses tables+chunks+retr, gstr
         # adds text), and the per-element pandas→Arrow conversion of
@@ -132,7 +149,7 @@ def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             retrieve_rows(candidate_pool(kind, tables, chunks))
             for kind, tables, chunks in zip(
                 pdf["doc_kind"], pdf["tables"], pdf["chunks"])
-        ])
+        ], **rep)
 
 
 def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
@@ -152,7 +169,20 @@ def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
         schema = T.StructType(
             [f for f in PARSED_SCHEMA.fields
              if f.name not in ("clean_spans", "n_spans")]
-            + [T.StructField("retr", RETR_TYPE)])
+            + [T.StructField("retr", RETR_TYPE),
+               # pre-flattened report values (types mirror the SQL
+               # forms: summary_struct casts accounts to int, money
+               # cells stay double)
+               T.StructField("rep_score", T.IntegerType()),
+               T.StructField("rep_inquiries", T.IntegerType()),
+               T.StructField("rep_sum_total_accounts", T.IntegerType()),
+               T.StructField("rep_sum_active_accounts", T.IntegerType()),
+               T.StructField("rep_sum_total_current_balance",
+                             T.DoubleType()),
+               T.StructField("rep_sum_total_overdue_amount",
+                             T.DoubleType()),
+               T.StructField("rep_sum_total_writeoff_amount",
+                             T.DoubleType())])
         return docs.mapInPandas(_parse_retr_batches, schema=schema)
     return docs.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
 
