@@ -300,7 +300,8 @@ def extract_crif_legacy(parsed: DataFrame) -> DataFrame:
     direct_table/flag_detection/computed weights, no similarity boost,
     formatter-default 'extracted' status everywhere (incl. policy)."""
     df = _with_tables(parsed.where(F.col("doc_kind") == "crif"))
-    df = _with_accounts(df, list(_REP_CARRY))
+    if "n_accounts" not in df.columns:
+        df = _with_accounts(df, list(_REP_CARRY))
     results = []
     for spec in PARAMETER_SPECS:
         pid = spec["param_id"]
@@ -403,7 +404,12 @@ def extract_all(parsed: DataFrame, engine: str | None = None,
         from .gstr import gstr_result_structs, with_gstr_columns
         from .retrieval_sql import relational_extract_columns
 
-        df = _with_tables(parsed)
+        # the relational engine computes the account aggregates itself
+        # (its independence is what the A9b agreement check buys); a
+        # fused-parse input's pre-flattened copies would collide with
+        # the aggregation aliases, so shed them here
+        from ..parse import _ACCT_AGG_COLS
+        df = _with_tables(parsed.drop(*_ACCT_AGG_COLS))
         df = with_gstr_columns(df)
         df = relational_extract_columns(df)
         results = []
@@ -480,7 +486,11 @@ def extract_all_udf(parsed: DataFrame) -> DataFrame:
                        f"THEN {_not_found_result(pid)} ELSE {struct} END)")
 
     carry += GSTR_CARRY
-    df = _with_accounts(df, carry, extra_keys=("doc_kind", *GSTR_KEYS))
+    if "n_accounts" not in df.columns:
+        df = _with_accounts(df, carry, extra_keys=("doc_kind", *GSTR_KEYS))
+    # else: the fused parse stage pre-flattened the account aggregates
+    # (parse.py _ACCT_AGG_COLS) — the plan stays completely narrow:
+    # no posexplode, no HashAggregate, ZERO shuffles end-to-end.
     arr = (f"CASE WHEN doc_kind = 'crif' THEN array({', '.join(results)}) "
            f"WHEN doc_kind = 'gstr' THEN {gstr_result_structs()} "
            f"ELSE array() END")

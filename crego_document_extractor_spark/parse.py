@@ -111,6 +111,14 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+#: per-doc account-aggregate columns pre-flattened by the fused stage
+#: (names/types mirror the _with_accounts SQL aggregation exactly)
+_ACCT_AGG_COLS = ("n_accounts", "rep_dpd30", "rep_dpd60", "rep_dpd90",
+                  "rep_live_plbl", "rep_m_bureau_suit_filed",
+                  "rep_m_bureau_wilful_default",
+                  "rep_m_bureau_settlement_writeoff")
+
+
 def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Fused parse + retrieval: one Python worker pass computes the
     parsed structure AND the per-parameter best-chunk column — stage
@@ -139,6 +147,36 @@ def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     "total_current_balance", "total_overdue_amount",
                     "total_writeoff_amount"):
             rep[f"rep_sum_{fld}"] = [s[fld] for s in summaries]
+        # pre-flatten the ACCOUNT aggregates too (parse_crif_report,
+        # crif_parser.py:7-25): one Account-Information chunk = one
+        # account, parse_account returns None on empty Account Type —
+        # the same validity the SQL path filters on.  Emitting the
+        # eight per-doc aggregate scalars here lets the udf engine
+        # skip the posexplode→HashAggregate entirely (its only
+        # shuffle) and the per-account JVM regexp forest; the SQL
+        # forms in _with_accounts stay the sql engine's path, so the
+        # A9b agreement query cross-checks both implementations.
+        for k in _ACCT_AGG_COLS:
+            rep[k] = []
+        for chunks in pdf["chunks"]:
+            accts = [a for c in chunks
+                     if c["header"].startswith("Account Information")
+                     for a in (S.parse_account(c["text"]),) if a]
+            rep["n_accounts"].append(len(accts))
+            rep["rep_dpd30"].append(
+                sum(a["worst_dpd"] >= 30 for a in accts))
+            rep["rep_dpd60"].append(
+                sum(a["worst_dpd"] >= 60 for a in accts))
+            rep["rep_dpd90"].append(
+                sum(a["worst_dpd"] >= 90 for a in accts))
+            rep["rep_live_plbl"].append(
+                any(S.is_live_pl_bl(a) for a in accts))
+            rep["rep_m_bureau_suit_filed"].append(
+                sum(S.has_suit_filed(a["remarks"]) for a in accts))
+            rep["rep_m_bureau_wilful_default"].append(
+                sum(S.has_wilful_default(a["remarks"]) for a in accts))
+            rep["rep_m_bureau_settlement_writeoff"].append(
+                sum(S.has_settlement_writeoff(a["remarks"]) for a in accts))
         # slim the fused payload: the extraction consumers never read
         # clean_spans / n_spans (crif uses tables+chunks+retr, gstr
         # adds text), and the per-element pandas→Arrow conversion of
@@ -182,7 +220,10 @@ def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
                T.StructField("rep_sum_total_overdue_amount",
                              T.DoubleType()),
                T.StructField("rep_sum_total_writeoff_amount",
-                             T.DoubleType())])
+                             T.DoubleType())]
+            + [T.StructField(c, T.BooleanType() if c == "rep_live_plbl"
+                             else T.IntegerType())
+               for c in _ACCT_AGG_COLS])
         return docs.mapInPandas(_parse_retr_batches, schema=schema)
     return docs.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
 
