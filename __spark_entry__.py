@@ -690,6 +690,44 @@ def _q_decontaminate(spark, sf):
     return contamination_report(corpus, evals, n=8)
 
 
+def _q_paragraph_dedup(spark, sf):
+    """Corpus-global keep-first paragraph dedup (ops/dedup.
+    paragraph_dedup) over a deterministically line-ified corpus where
+    doc_id % 4 == 0 docs carry a shared footer paragraph: dedup keeps
+    the footer ONLY at its lexicographically-smallest (doc_id, pos)
+    and drops every other copy — the complement of q_boilerplate's
+    drop-all-copies census, over the same seeded input."""
+    from crego_document_extractor_spark.ops.dedup import paragraph_dedup
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = "split(text, ' ')"
+    lines = (f"transform(sequence(1, cast(ceil(size({toks}) / 6.0) AS int)), "
+             f"i -> concat_ws(' ', slice({toks}, (i - 1) * 6 + 1, 6)))")
+    ml = (f"array_join(CASE WHEN doc_id % 4 = 0 "
+          f"THEN concat({lines}, "
+          f"array('subscribe to our newsletter today')) "
+          f"ELSE {lines} END, '\\n')")
+    seeded = d.withColumn("text", F.expr(ml))
+    return (paragraph_dedup(seeded)
+            .select("doc_id", F.md5("text").alias("dedup_md5"),
+                    "n_paragraphs", "n_dropped"))
+
+
+def _q_dup_ngrams(spark, sf):
+    """Cross-document duplicated 8-gram rate (ops/curation.
+    duplicate_ngram_report): doc_id % 50 == 0 docs share a seeded
+    phrase (plus whatever the corpus duplicates naturally), so
+    n_dup_grams is non-vacuous and DuckDB rebuilds the identical
+    census from the same tokenization."""
+    from crego_document_extractor_spark.ops.curation import (
+        duplicate_ngram_report)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.withColumn("text", F.expr(
+        "CASE WHEN doc_id % 50 = 0 THEN concat(text, "
+        "' shared canary alpha beta gamma delta epsilon zeta "
+        "eta theta') ELSE text END"))
+    return duplicate_ngram_report(seeded, n=8, min_docs=2)
+
+
 def _q_epoch_shard(spark, sf):
     """Deterministic epoch shuffle + shard (ops/curation.epoch_shard):
     the oracle rebuilds shard ids from the same md5 ascii() arithmetic
@@ -1170,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": _q_repetition_stats,
         "q_ngram_topk": _q_ngram_topk,
         "q_decontaminate": _q_decontaminate,
+        "q_paragraph_dedup": _q_paragraph_dedup,
+        "q_dup_ngrams": _q_dup_ngrams,
         "q_epoch_shard": _q_epoch_shard,
         "q_ivf_ann_recall": _q_ivf_ann_recall,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
@@ -1686,11 +1726,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                    + len(regexp_extract_all(text, '\\b\\d{10,12}\\b'))
                      AS n_pii,
                    md5(regexp_replace(regexp_replace(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                      '[EMAIL]', 'g'),
                      '\\b\\d{10,12}\\b', '[PHONE]', 'g')) AS redacted_md5
             FROM s
@@ -1986,6 +2026,91 @@ def oracle_sql() -> dict[str, str]:
                    min(cg.gram) AS first_gram
             FROM cg JOIN ev USING (gram)
             GROUP BY cg.doc_id
+        """,
+        "q_paragraph_dedup": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            l0 AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, CAST(ceil(len(toks) / 6.0) AS INT) + 1),
+                       i -> array_to_string(
+                              toks[(i - 1) * 6 + 1:(i - 1) * 6 + 6], ' '))
+                       AS lines
+              FROM t),
+            l1 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN list_append(lines,
+                            'subscribe to our newsletter today')
+                          ELSE lines END AS raw
+              FROM l0),
+            l AS (
+              SELECT doc_id,
+                     list_filter(list_transform(raw, x -> trim(x)),
+                                 x -> x <> '') AS ps
+              FROM l1),
+            e AS (
+              SELECT doc_id, unnest(ps) AS para,
+                     unnest(generate_series(1, len(ps))) AS pos
+              FROM l),
+            k AS (
+              SELECT doc_id, para, pos,
+                     concat(doc_id, ':',
+                            lpad(CAST(pos AS VARCHAR), 9, '0')) AS pkey
+              FROM e),
+            c AS (
+              SELECT para, min(pkey) AS w FROM k
+              GROUP BY para HAVING count(*) > 1),
+            kept AS (
+              SELECT k.doc_id, k.pos, k.para
+              FROM k LEFT JOIN c USING (para)
+              WHERE c.w IS NULL OR k.pkey = c.w),
+            g AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS text,
+                     count(*) AS nk
+              FROM kept GROUP BY doc_id)
+            SELECT l.doc_id,
+                   md5(coalesce(g.text, '')) AS dedup_md5,
+                   CAST(len(l.ps) AS INT) AS n_paragraphs,
+                   CAST(len(l.ps) - coalesce(g.nk, 0) AS INT) AS n_dropped
+            FROM l LEFT JOIN g USING (doc_id)
+        """,
+        "q_dup_ngrams": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 50 = 0
+                          THEN text || ' shared canary alpha beta '
+                               || 'gamma delta epsilon zeta eta theta'
+                          ELSE text END AS text
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM seeded),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 7, 0) + 1),
+                       i -> array_to_string(toks[i:i + 7], ' '))) AS grams
+              FROM tok),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            c AS (SELECT gram FROM e GROUP BY gram
+                  HAVING count(*) >= 2),
+            d AS (
+              SELECT e.doc_id, CAST(count(*) AS INT) AS n_dup_grams
+              FROM e JOIN c USING (gram)
+              GROUP BY e.doc_id)
+            SELECT g.doc_id, CAST(len(g.grams) AS INT) AS n_grams,
+                   coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+                   CASE WHEN len(g.grams) > 0
+                        THEN coalesce(d.n_dup_grams, 0)
+                             / CAST(len(g.grams) AS DOUBLE)
+                        ELSE 0.0 END AS dup_ratio
+            FROM g LEFT JOIN d USING (doc_id)
         """,
         "q_epoch_shard": """
             WITH k AS (

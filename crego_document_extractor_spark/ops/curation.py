@@ -126,9 +126,13 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 10,
 def _word_ngrams(text_col: str, n: int) -> str:
     """SQL: distinct lowercase word n-grams of `text_col`."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    return (f"array_distinct(transform("
-            f"sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-            f"i -> concat_ws(' ', slice({toks}, i, {n}))))")
+    # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark — the
+    # un-guarded form crashes on docs with < n tokens (slice start 0)
+    return (f"CASE WHEN size({toks}) >= {n} THEN "
+            f"array_distinct(transform("
+            f"sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n})))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END")
 
 
 def contamination_report(df: DataFrame, eval_df: DataFrame, n: int = 8,
@@ -212,3 +216,43 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumn("n_pii",
                           F.expr(f"{email_count} + {phone_count}"))
             .withColumn("redacted", F.expr(redacted)))
+
+
+def duplicate_ngram_report(df: DataFrame, n: int = 8, min_docs: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicated-text metric (the doc-level signal
+    RefinedWeb/FineWeb gate on before training): for each document,
+    how many of its distinct word `n`-grams also occur in at least
+    `min_docs` documents corpus-wide, and the resulting ratio.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_ratio) for every doc.
+
+    Differs from `contamination_report` (overlap vs a SMALL broadcast
+    eval set) and `textstats.with_repetition_stats` (WITHIN-doc
+    repetition): this is corpus × corpus, so the gram census cannot
+    broadcast — the shape is explode(distinct grams per doc) →
+    map-side-combined census groupBy(gram) → census filtered to
+    duplicated grams only (usually a small fraction) → join back →
+    per-doc count.  All linear; per-doc array_distinct BEFORE the
+    explode keeps the census a plain count(*), and the post-filter
+    census is the only side that reaches the join."""
+    grams = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.expr(_word_ngrams(text_col, n)))
+                      .alias("gram"))
+    census = (grams.groupBy("gram")
+              .agg(F.count("*").alias("_nd"))
+              .where(F.col("_nd") >= min_docs)
+              .drop("_nd"))
+    dup = (grams.join(census, "gram")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("int").alias("n_dup_grams")))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.expr(f"size({_word_ngrams(text_col, n)})")
+                     .alias("n_grams"))
+    return (base.join(dup, "doc_id", "left")
+            .withColumn("n_dup_grams",
+                        F.expr("coalesce(n_dup_grams, 0)"))
+            .withColumn("dup_ratio", F.expr(
+                "CASE WHEN n_grams > 0 THEN n_dup_grams / "
+                "cast(n_grams AS double) ELSE 0.0d END")))

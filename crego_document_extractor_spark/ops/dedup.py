@@ -25,9 +25,14 @@ def exact_duplicates(df: DataFrame) -> DataFrame:
 
 
 def _shingles(tokens: str, k: int = 3) -> str:
-    return (f"array_distinct(transform("
-            f"sequence(1, greatest(size({tokens}) - {k - 1}, 0)), "
-            f"i -> concat_ws(' ', slice({tokens}, i, {k}))))")
+    # the CASE guard matters: sequence(1, 0) is DESCENDING [1, 0] in
+    # Spark, so the un-guarded form crashes on docs with < k tokens
+    # (slice start 0 throws under ANSI)
+    return (f"CASE WHEN size({tokens}) >= {k} THEN "
+            f"array_distinct(transform("
+            f"sequence(1, size({tokens}) - {k - 1}), "
+            f"i -> concat_ws(' ', slice({tokens}, i, {k})))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END")
 
 
 def _minhash_scalar(df: DataFrame, n_hashes: int,
@@ -288,3 +293,57 @@ def keep_canonical(df: DataFrame, clusters: DataFrame,
             .where(F.col("cluster_id").isNull() |
                    (F.col(id_col) == F.col("_keep_id")))
             .drop("cluster_id", "_keep_id"))
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-GLOBAL paragraph deduplication, keep-first semantics
+    (the exact-substring dedup of Lee et al. 2022 at paragraph
+    granularity, as used by CCNet/RefinedWeb): every normalized
+    paragraph keeps exactly ONE occurrence corpus-wide — the
+    lexicographically-smallest (doc_id, position) — and all other
+    copies are removed; each document's surviving paragraphs are
+    reassembled in their original order.
+
+    Differs from `curation.remove_boilerplate_lines` (which drops ALL
+    copies of high-frequency lines): dedup preserves the content once.
+
+    Paragraph = trimmed non-blank line (curation._doc_lines — the same
+    normalization the boilerplate census uses).
+
+    Returns (doc_id, text, n_paragraphs, n_dropped) — one row per
+    input document, including documents whose every paragraph was
+    dropped or that had no paragraphs at all.
+
+    Scale shape: explode → census groupBy(para) with map-side-combined
+    min/count → the census keeps ONLY paragraphs seen more than once →
+    sort-merge join back on the paragraph → per-doc regroup.  Three
+    linear shuffles; no step is quadratic.  Skew: a mega-duplicated
+    paragraph is one hot join key — run remove_boilerplate_lines first
+    to strip ubiquitous lines, and AQE skew-join splits the remainder.
+    """
+    from .curation import _doc_lines
+    ps = _doc_lines(text_col)
+    e = (df.select(F.col(id_col).alias("doc_id"),
+                   F.expr(f"size({ps})").alias("n_paragraphs"),
+                   F.posexplode_outer(F.expr(ps)).alias("pos0", "para"))
+         .withColumn("pos", F.expr("pos0 + 1")).drop("pos0")
+         .withColumn("pkey", F.expr(
+             "concat(doc_id, ':', lpad(cast(pos AS string), 9, '0'))")))
+    census = (e.where("para IS NOT NULL")
+              .groupBy("para")
+              .agg(F.min("pkey").alias("_w"), F.count("*").alias("_n"))
+              .where("_n > 1")
+              .drop("_n"))
+    j = (e.join(census, "para", "left")
+         .withColumn("keep", F.expr(
+             "para IS NOT NULL AND (_w IS NULL OR pkey = _w)")))
+    return (j.groupBy("doc_id")
+            .agg(F.max("n_paragraphs").alias("n_paragraphs"),
+                 F.expr("array_join(transform(array_sort(collect_list("
+                        "CASE WHEN keep THEN struct(pos, para) END)), "
+                        "x -> x.para), '\\n')").alias(text_col),
+                 F.expr("cast(count(CASE WHEN keep THEN 1 END) AS int)")
+                 .alias("_n_kept"))
+            .withColumn("n_dropped", F.expr("n_paragraphs - _n_kept"))
+            .drop("_n_kept"))

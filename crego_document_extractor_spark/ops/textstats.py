@@ -128,8 +128,12 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     via the expand path.  Global top-k is a TakeOrdered (no total
     sort)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    grams = (f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-             f"i -> concat_ws(' ', slice({toks}, i, {n})))")
+    # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark — the
+    # un-guarded form crashes on docs with < n tokens (slice start 0)
+    grams = (f"CASE WHEN size({toks}) >= {n} THEN "
+             f"transform(sequence(1, size({toks}) - {n - 1}), "
+             f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+             f"ELSE CAST(array() AS ARRAY<STRING>) END")
     return (df.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
             .groupBy("gram")
             .agg(F.count("*").alias("n_occurrences"),

@@ -587,3 +587,98 @@ def test_keep_canonical(spark):
               for r in keep_canonical(docs, clusters,
                                       quality_col="q").collect()}
     assert kept_q == {2, 7, 9}   # 0.9 tie between 2 and 3 -> smaller id
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from crego_document_extractor_spark.ops.dedup import paragraph_dedup
+    rows = [
+        ("a1", "alpha one\nshared footer line\nalpha two"),
+        ("a2", "beta one\nshared footer line\nbeta two"),
+        ("a3", "shared footer line"),            # every para is a later dup
+        ("a4", ""),                              # no paragraphs at all
+        ("a5", "gamma\ngamma\ngamma unique"),    # within-doc repeat dedups too
+    ]
+    out = {r["doc_id"]: r for r in paragraph_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert len(out) == 5                          # every doc survives
+    # keep-first: the footer stays only at its smallest (doc_id, pos)
+    assert out["a1"]["text"] == "alpha one\nshared footer line\nalpha two"
+    assert out["a1"]["n_dropped"] == 0
+    assert out["a2"]["text"] == "beta one\nbeta two"
+    assert out["a2"]["n_dropped"] == 1
+    assert out["a3"]["text"] == "" and out["a3"]["n_dropped"] == 1
+    assert out["a4"]["text"] == "" and out["a4"]["n_paragraphs"] == 0
+    assert out["a5"]["text"] == "gamma\ngamma unique"
+    assert out["a5"]["n_dropped"] == 1
+
+
+def test_paragraph_dedup_vs_python_oracle(spark):
+    """Property-style cross-check on a generated corpus."""
+    import random
+    from crego_document_extractor_spark.ops.dedup import paragraph_dedup
+    rng = random.Random(7)
+    vocab = ["lorem", "ipsum", "dolor", "sit", "amet"]
+    rows = []
+    for i in range(40):
+        paras = [" ".join(rng.choices(vocab, k=rng.randint(1, 4)))
+                 for _ in range(rng.randint(0, 6))]
+        rows.append((f"doc-{i:03d}", "\n".join(paras)))
+    # python oracle: global keep-first on (doc_id, pos)
+    seen = {}
+    for doc_id, text in rows:
+        ps = [p.strip() for p in text.split("\n") if p.strip()]
+        for pos, p in enumerate(ps, start=1):
+            key = f"{doc_id}:{pos:09d}"
+            if p not in seen or key < seen[p]:
+                seen[p] = key
+    expected = {}
+    for doc_id, text in rows:
+        ps = [p.strip() for p in text.split("\n") if p.strip()]
+        kept = [p for pos, p in enumerate(ps, start=1)
+                if seen[p] == f"{doc_id}:{pos:09d}"]
+        expected[doc_id] = ("\n".join(kept), len(ps), len(ps) - len(kept))
+    got = {r["doc_id"]: (r["text"], r["n_paragraphs"], r["n_dropped"])
+           for r in paragraph_dedup(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert got == expected
+
+
+def test_duplicate_ngram_report(spark):
+    from crego_document_extractor_spark.ops.curation import (
+        duplicate_ngram_report)
+    shared = "one two three four"
+    rows = [
+        ("d1", shared + " tail alpha"),
+        ("d2", shared + " tail beta"),
+        ("d3", "five six seven eight nine"),
+        ("d4", "shorty"),                        # < n tokens: no grams, no crash
+    ]
+    out = {r["doc_id"]: r for r in duplicate_ngram_report(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        n=4, min_docs=2).collect()}
+    # d1/d2 share TWO 4-grams: "one two three four", "two three four tail"
+    assert out["d1"]["n_grams"] == 3 and out["d1"]["n_dup_grams"] == 2
+    assert out["d2"]["n_dup_grams"] == 2
+    assert abs(out["d1"]["dup_ratio"] - 2 / 3) < 1e-12
+    assert out["d3"]["n_dup_grams"] == 0
+    assert out["d4"]["n_grams"] == 0 and out["d4"]["dup_ratio"] == 0.0
+
+
+def test_ngram_windows_survive_short_docs(spark):
+    """sequence(1, 0) is DESCENDING in Spark — every windowed-gram
+    helper must CASE-guard or it crashes on sub-n-token docs."""
+    from crego_document_extractor_spark.ops.dedup import (
+        minhash_signature, simhash)
+    from crego_document_extractor_spark.ops.textstats import ngram_topk
+    from crego_document_extractor_spark.ops.curation import (
+        contamination_report)
+    df = spark.createDataFrame(
+        [("s1", "one two"), ("s2", ""), ("s3", "x"),
+         ("s4", "one two three four")], ["doc_id", "text"])
+    # shingle-less docs get NO signature row (nothing to hash) — the
+    # guard's job is that they don't crash the whole stage
+    sigs = minhash_signature(df, n_hashes=4, shingle_k=3).collect()
+    assert [r["doc_id"] for r in sigs] == ["s4"]
+    assert simhash(df).count() == 4
+    assert ngram_topk(df, n=5, k=3).count() == 0
+    assert contamination_report(df, df.limit(1), n=8).count() == 0
