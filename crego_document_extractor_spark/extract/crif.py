@@ -404,6 +404,11 @@ def extract_all(parsed: DataFrame, engine: str | None = None,
         from .gstr import gstr_result_structs, with_gstr_columns
         from .retrieval_sql import relational_extract_columns
 
+        if "tables" not in parsed.columns:
+            raise ValueError(
+                "engine='sql' needs the full parsed schema "
+                "(tables/chunks/text); got a pre-flattened fused parse — "
+                "use parse_documents(docs) without fuse_retrieval")
         # the relational engine computes the account aggregates itself
         # (its independence is what the A9b agreement check buys); a
         # fused-parse input's pre-flattened copies would collide with
@@ -436,14 +441,25 @@ def extract_all(parsed: DataFrame, engine: str | None = None,
 
 
 def extract_all_udf(parsed: DataFrame) -> DataFrame:
-    """Round-2 physical plan: Arrow pandas_udf retrieval + separate
-    account aggregation.  Semantically identical to extract_all('sql');
-    kept as the second engine for the consistency harness."""
+    """Arrow-UDF engine.  Two input shapes:
+
+    * FULLY PRE-FLATTENED fused parse (parse.py fuse_retrieval=True,
+      detected by `bscore_0`): every per-parameter scalar is already a
+      primitive column, so this is a pure-codegen projection — build
+      the result structs, explode.  ZERO shuffles, zero JVM HOFs,
+      slim Arrow payload (the flagship plan).
+    * full parsed schema (legacy round-2 plan): pandas_udf retrieval +
+      JVM HOF lookups + relational account aggregation.  Kept as a
+      third physical form for the consistency harness."""
     from .gstr import GSTR_CARRY, GSTR_KEYS, gstr_result_structs, with_gstr_columns
 
-    df = with_retrieval(parsed)
-    df = _with_tables(df)
-    df = with_gstr_columns(df)
+    pref = "bscore_0" in parsed.columns
+    if pref:
+        df = parsed
+    else:
+        df = with_retrieval(parsed)
+        df = _with_tables(df)
+        df = with_gstr_columns(df)
 
     # per-parameter best-chunk lookups: computed BEFORE the account
     # aggregation while the wide tables/chunks columns are still in
@@ -456,41 +472,43 @@ def extract_all_udf(parsed: DataFrame) -> DataFrame:
         if spec["category"] == "policy":
             results.append(_policy_result(pid))
             continue
-        # only the best score survives past the account aggregation —
-        # a primitive column, so the aggregation stays HashAggregate
-        df = df.withColumn(f"bscore_{i}", F.expr(f"{best}.score"))
-        carry.append(f"bscore_{i}")
+        if not pref:
+            # only the best score survives past the account aggregation
+            # — a primitive column, so the aggregation stays
+            # HashAggregate
+            df = df.withColumn(f"bscore_{i}", F.expr(f"{best}.score"))
+            carry.append(f"bscore_{i}")
         if spec["category"] == "direct":
-            df = df.withColumn(
-                f"bt_{i}",
-                F.expr(f"CASE WHEN {best}.score IS NOT NULL AND {best}.ctype = 'table' "
-                       f"THEN try_element_at(filter(tables, t -> t.id = {best}.ref_idx), 1) END"))
-            df = (df.withColumn(f"cv_{i}", F.expr(_direct_chunk_value(pid, f"bt_{i}")))
-                  .withColumn(f"bt_id_{i}", F.expr(f"bt_{i}.id")))
-            carry += [f"cv_{i}", f"bt_id_{i}"]
+            if not pref:
+                df = df.withColumn(
+                    f"bt_{i}",
+                    F.expr(f"CASE WHEN {best}.score IS NOT NULL AND {best}.ctype = 'table' "
+                           f"THEN try_element_at(filter(tables, t -> t.id = {best}.ref_idx), 1) END"))
+                df = (df.withColumn(f"cv_{i}", F.expr(_direct_chunk_value(pid, f"bt_{i}")))
+                      .withColumn(f"bt_id_{i}", F.expr(f"bt_{i}.id")))
+                carry += [f"cv_{i}", f"bt_id_{i}"]
             struct = _direct_param(i, spec)
         elif spec["category"] == "flag":
-            if pid in X.FLAG_PREDS:
-                df = df.withColumn(
-                    f"bc_{i}",
-                    F.expr(f"CASE WHEN {best}.score IS NOT NULL AND {best}.ctype = 'text' "
-                           f"THEN try_element_at(filter(chunks, c -> c.chunk_idx = {best}.ref_idx), 1) END"))
             struct, inter = _flag_param(i, spec)
-            for name, expr in inter.items():
-                df = df.withColumn(name, F.expr(expr))
-            carry += list(inter)
+            if not pref:
+                if pid in X.FLAG_PREDS:
+                    df = df.withColumn(
+                        f"bc_{i}",
+                        F.expr(f"CASE WHEN {best}.score IS NOT NULL AND {best}.ctype = 'text' "
+                               f"THEN try_element_at(filter(chunks, c -> c.chunk_idx = {best}.ref_idx), 1) END"))
+                for name, expr in inter.items():
+                    df = df.withColumn(name, F.expr(expr))
+                carry += list(inter)
         else:
             struct = _derived_param(i, spec)
         # retrieval miss → NOT_FOUND (crif.py:154-162)
         results.append(f"(CASE WHEN bscore_{i} IS NULL "
                        f"THEN {_not_found_result(pid)} ELSE {struct} END)")
 
-    carry += GSTR_CARRY
-    if "n_accounts" not in df.columns:
-        df = _with_accounts(df, carry, extra_keys=("doc_kind", *GSTR_KEYS))
-    # else: the fused parse stage pre-flattened the account aggregates
-    # (parse.py _ACCT_AGG_COLS) — the plan stays completely narrow:
-    # no posexplode, no HashAggregate, ZERO shuffles end-to-end.
+    if not pref:
+        carry += GSTR_CARRY
+        if "n_accounts" not in df.columns:
+            df = _with_accounts(df, carry, extra_keys=("doc_kind", *GSTR_KEYS))
     arr = (f"CASE WHEN doc_kind = 'crif' THEN array({', '.join(results)}) "
            f"WHEN doc_kind = 'gstr' THEN {gstr_result_structs()} "
            f"ELSE array() END")

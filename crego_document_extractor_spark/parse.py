@@ -118,25 +118,104 @@ _ACCT_AGG_COLS = ("n_accounts", "rep_dpd30", "rep_dpd60", "rep_dpd90",
                   "rep_m_bureau_wilful_default",
                   "rep_m_bureau_settlement_writeoff")
 
+#: chunk-aware flag parameters (crif_models.py:52-60 predicates — the
+#: same three the SQL engine's X.FLAG_PREDS encodes)
+_FLAG_FNS = {
+    "bureau_suit_filed": S.has_suit_filed,
+    "bureau_wilful_default": S.has_wilful_default,
+    "bureau_settlement_writeoff": S.has_settlement_writeoff,
+}
+
+
+def _direct_cv(pid: str, t: dict):
+    """Chunk-aware direct value from the winning TABLE candidate
+    (crif.py:311-359) — the Python twin of crif._direct_chunk_value's
+    SQL forms, built from the same semantics extractors the oracle
+    uses, so fused-vs-unfused parity is by shared definition."""
+    if pid == "bureau_credit_score":
+        return S.bureau_score_from_table(t)
+    if pid == "bureau_written_off_debt_amount":
+        s = S.account_summary_from_table(t)
+        return s["total_writeoff_amount"] if s else None
+    if pid == "bureau_max_loans":
+        s = S.account_summary_from_table(t)
+        return int(s["total_accounts"]) if s else None
+    if pid == "bureau_max_active_loans":
+        s = S.account_summary_from_table(t)
+        return int(s["active_accounts"]) if s else None
+    if pid == "bureau_credit_inquiries":
+        return S.credit_inquiries_from_table(t)
+    raise KeyError(pid)
+
+
+def _flat_fields() -> list:
+    """(name, sparktype) for every per-parameter scalar the fused
+    stage pre-flattens — exactly the columns extract_all_udf's result
+    builders consume (bscore_i, cv_i/bt_id_i, nc_i/mc_i) plus the four
+    GSTR primitives."""
+    from .specs import PARAMETER_SPECS
+    fields = []
+    for i, spec in enumerate(PARAMETER_SPECS):
+        if spec["category"] == "policy":
+            continue
+        fields.append((f"bscore_{i}", T.DoubleType()))
+        if spec["category"] == "direct":
+            fields.append((f"cv_{i}", T.DoubleType()))
+            fields.append((f"bt_id_{i}", T.IntegerType()))
+        elif spec["category"] == "flag" and spec["param_id"] in _FLAG_FNS:
+            fields.append((f"nc_{i}", T.IntegerType()))
+            fields.append((f"mc_{i}", T.IntegerType()))
+    fields += [("g_month", T.StringType()), ("g_found", T.BooleanType()),
+               ("g_page", T.IntegerType()), ("g_sales", T.DoubleType())]
+    return fields
+
+
+def _gstr_primitives(text: str, tables: list[dict]) -> tuple:
+    """Python twin of gstr.with_gstr_columns's four primitives
+    (g_month, g_found, g_page, g_sales — gstr.py:39-155), built from
+    the same semantics helpers the oracle's ``gstr_sales`` uses, so the
+    fused plan and the SQL forms stay agreement-checked end-to-end."""
+    g_month = S.gstr_month(text)
+    tbl = next((t for t in tables if S.gstr_table_matches(t)), None)
+    if tbl is None:
+        return g_month, False, None, None
+    row = next((r for r in tbl["rows"]
+                if "(a)" in " ".join(str(x) for x in r).lower()
+                or "outward taxable supplies"
+                in " ".join(str(x) for x in r).lower()), None)
+    if row is None:
+        return g_month, False, tbl["page"], None
+    cols = tbl["columns"]
+    idx = next((i for i, c in enumerate(cols)
+                if "taxable" in str(c).lower() and "value" in str(c).lower()),
+               -1)
+    if idx == -1 and len(cols) > 1:
+        idx = 1  # idx stays -1 (last cell) for 0/1-column tables
+    cell = row[idx] if -len(row) <= idx < len(row) else None
+    return (g_month, True, tbl["page"],
+            S.clean_currency("" if cell is None else str(cell)))
+
 
 def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fused parse + retrieval: one Python worker pass computes the
-    parsed structure AND the per-parameter best-chunk column — stage
-    profiling showed the flagship python-stage-bound with two Arrow
-    round-trips (parse MapInPandas → JVM → retrieval pandas_udf);
-    fusing removes one (r4 VERDICT #6).  Semantics are shared
-    function-for-function with the unfused plan (retrieve_rows /
-    candidate_pool), which stays as the second physical form."""
+    """Fused parse + retrieval + FULL per-parameter pre-flatten.
+
+    One Python worker pass computes the parsed structure, the
+    per-parameter best chunk, AND every scalar the extraction result
+    builders consume — stage profiling showed the flagship
+    python-stage-bound with the nested tables/chunks/retr arrays'
+    pandas→Arrow conversion and the JVM-side interpreted-HOF lookups
+    (19 filter(tables/chunks) calls) as the residual cost after the r5
+    fusion, so the fused payload is now ~50 primitive columns and the
+    JVM side is pure codegen CASE/concat over them.  Semantics are
+    shared function-for-function with the unfused plan (retrieve_rows /
+    candidate_pool / semantics extractors), which stays as the second
+    physical form, cross-checked by the A9b agreement query and the
+    fused==unfused parity test (tests/test_paths.py)."""
     from .extract.retrieval import candidate_pool, retrieve_rows
+    from .specs import PARAMETER_SPECS
 
     for pdf in _parse_batches(batches):
-        # pre-flatten the report-level table-signature values here —
-        # measured ~4 s of interpreted-HOF JVM CPU per 160k docs when
-        # computed by the SQL forms (X.doc_score/doc_summary/
-        # doc_inquiries); the Python cost is ~µs/doc over the tiny
-        # per-doc tables array.  The SQL forms remain the sql engine's
-        # path, so the A9b agreement harness now cross-checks the two
-        # implementations end-to-end.
+        # report-level table-signature values (crif_parser.py:28-127)
         summaries = [S.account_summary(t) for t in pdf["tables"]]
         rep = {
             "rep_score": [S.bureau_score(t) for t in pdf["tables"]],
@@ -147,15 +226,13 @@ def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     "total_current_balance", "total_overdue_amount",
                     "total_writeoff_amount"):
             rep[f"rep_sum_{fld}"] = [s[fld] for s in summaries]
-        # pre-flatten the ACCOUNT aggregates too (parse_crif_report,
-        # crif_parser.py:7-25): one Account-Information chunk = one
-        # account, parse_account returns None on empty Account Type —
-        # the same validity the SQL path filters on.  Emitting the
-        # eight per-doc aggregate scalars here lets the udf engine
-        # skip the posexplode→HashAggregate entirely (its only
-        # shuffle) and the per-account JVM regexp forest; the SQL
-        # forms in _with_accounts stay the sql engine's path, so the
-        # A9b agreement query cross-checks both implementations.
+        # ACCOUNT aggregates (parse_crif_report, crif_parser.py:7-25):
+        # one Account-Information chunk = one account, parse_account
+        # returns None on empty Account Type — the same validity the
+        # SQL path filters on.  Pre-flattening these lets the udf
+        # engine skip the posexplode→HashAggregate entirely (its only
+        # shuffle); the SQL forms in _with_accounts stay the sql
+        # engine's path.
         for k in _ACCT_AGG_COLS:
             rep[k] = []
         for chunks in pdf["chunks"]:
@@ -177,17 +254,62 @@ def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 sum(S.has_wilful_default(a["remarks"]) for a in accts))
             rep["rep_m_bureau_settlement_writeoff"].append(
                 sum(S.has_settlement_writeoff(a["remarks"]) for a in accts))
-        # slim the fused payload: the extraction consumers never read
-        # clean_spans / n_spans (crif uses tables+chunks+retr, gstr
-        # adds text), and the per-element pandas→Arrow conversion of
-        # the span structs is pure overhead on the flagship's only
-        # Python stage — plain parses keep the full schema for the
-        # span-equality deliverable
-        yield pdf.drop(columns=["clean_spans", "n_spans"]).assign(retr=[
-            retrieve_rows(candidate_pool(kind, tables, chunks))
-            for kind, tables, chunks in zip(
-                pdf["doc_kind"], pdf["tables"], pdf["chunks"])
-        ], **rep)
+        # per-parameter flat scalars (crif.py:311-426 chunk-aware paths)
+        flat = {name: [] for name, _ in _flat_fields()}
+        for kind, text, tables, chunks in zip(
+                pdf["doc_kind"], pdf["text"], pdf["tables"], pdf["chunks"]):
+            retr = retrieve_rows(candidate_pool(kind, tables, chunks))
+            tab_by_id = {t["id"]: t for t in tables}
+            chunk_by_idx = {c["chunk_idx"]: c for c in chunks}
+            for i, spec in enumerate(PARAMETER_SPECS):
+                if spec["category"] == "policy":
+                    continue
+                r = retr[i]
+                score = r["score"]
+                flat[f"bscore_{i}"].append(score)
+                if spec["category"] == "direct":
+                    cv = bt_id = None
+                    if score is not None and r["ctype"] == "table":
+                        t = tab_by_id.get(r["ref_idx"])
+                        if t is not None:
+                            bt_id = t["id"]
+                            cv = _direct_cv(spec["param_id"], t)
+                    flat[f"cv_{i}"].append(
+                        None if cv is None else float(cv))
+                    flat[f"bt_id_{i}"].append(bt_id)
+                elif (spec["category"] == "flag"
+                      and spec["param_id"] in _FLAG_FNS):
+                    nc = mc = 0
+                    if score is not None and r["ctype"] == "text":
+                        c = chunk_by_idx.get(r["ref_idx"])
+                        if c is not None:
+                            # crif.py:395-401 sub-block split
+                            blocks = c["text"].split("Account Number:")[1:]
+                            accts = [
+                                a for a in
+                                (S.parse_account("Account Number:" + b)
+                                 for b in blocks) if a]
+                            nc = len(accts)
+                            fn = _FLAG_FNS[spec["param_id"]]
+                            mc = sum(1 for a in accts if fn(a["remarks"]))
+                    flat[f"nc_{i}"].append(nc)
+                    flat[f"mc_{i}"].append(mc)
+            if kind == "gstr":
+                gm, gf, gp, gs = _gstr_primitives(text, tables)
+            else:  # consumed only under doc_kind='gstr' (crif.extract_all)
+                gm, gf, gp, gs = None, False, None, None
+            flat["g_month"].append(gm)
+            flat["g_found"].append(gf)
+            flat["g_page"].append(gp)
+            flat["g_sales"].append(gs)
+        # the fused payload is SLIM: the nested clean_spans/tables/
+        # chunks/retr arrays and the full text — the bulk of the
+        # pandas→Arrow conversion cost — never cross the boundary;
+        # plain parses keep the full schema for the span-equality
+        # deliverable
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"], "doc_kind": pdf["doc_kind"],
+            **rep, **flat})
 
 
 def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
@@ -196,34 +318,36 @@ def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
     Narrow (no shuffle); Arrow-batched; heavy-tailed docs bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch.
 
-    ``fuse_retrieval=True`` additionally emits the `retr` best-chunk
-    column from the SAME Python stage (downstream `with_retrieval`
-    then no-ops) — use when the consumer is the udf-engine extraction;
-    plain parses (clean_spans-only consumers) should keep the default
-    so they don't pay for retrieval they will prune away.
+    ``fuse_retrieval=True`` emits the FULLY PRE-FLATTENED extraction
+    input from the SAME Python stage: per-parameter best-chunk scores
+    and chunk-aware values (bscore/cv/bt_id/nc/mc), report + account
+    aggregates, and the GSTR primitives — ~50 primitive columns, no
+    nested arrays, no text.  Use when the consumer is the udf-engine
+    extraction (extract_all_udf builds pure-codegen result structs over
+    these columns); plain parses (clean_spans-only consumers, the sql
+    engine) keep the default full parsed schema.
     """
     if fuse_retrieval:
-        from .extract.retrieval import RETR_TYPE
         schema = T.StructType(
-            [f for f in PARSED_SCHEMA.fields
-             if f.name not in ("clean_spans", "n_spans")]
-            + [T.StructField("retr", RETR_TYPE),
-               # pre-flattened report values (types mirror the SQL
-               # forms: summary_struct casts accounts to int, money
-               # cells stay double)
-               T.StructField("rep_score", T.IntegerType()),
-               T.StructField("rep_inquiries", T.IntegerType()),
-               T.StructField("rep_sum_total_accounts", T.IntegerType()),
-               T.StructField("rep_sum_active_accounts", T.IntegerType()),
-               T.StructField("rep_sum_total_current_balance",
-                             T.DoubleType()),
-               T.StructField("rep_sum_total_overdue_amount",
-                             T.DoubleType()),
-               T.StructField("rep_sum_total_writeoff_amount",
-                             T.DoubleType())]
+            [T.StructField("doc_id", T.StringType()),
+             T.StructField("doc_kind", T.StringType()),
+             # pre-flattened report values (types mirror the SQL
+             # forms: summary_struct casts accounts to int, money
+             # cells stay double)
+             T.StructField("rep_score", T.IntegerType()),
+             T.StructField("rep_inquiries", T.IntegerType()),
+             T.StructField("rep_sum_total_accounts", T.IntegerType()),
+             T.StructField("rep_sum_active_accounts", T.IntegerType()),
+             T.StructField("rep_sum_total_current_balance",
+                           T.DoubleType()),
+             T.StructField("rep_sum_total_overdue_amount",
+                           T.DoubleType()),
+             T.StructField("rep_sum_total_writeoff_amount",
+                           T.DoubleType())]
             + [T.StructField(c, T.BooleanType() if c == "rep_live_plbl"
                              else T.IntegerType())
-               for c in _ACCT_AGG_COLS])
+               for c in _ACCT_AGG_COLS]
+            + [T.StructField(name, typ) for name, typ in _flat_fields()])
         return docs.mapInPandas(_parse_retr_batches, schema=schema)
     return docs.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
 
