@@ -347,3 +347,81 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                  .alias("_n_kept"))
             .withColumn("n_dropped", F.expr("n_paragraphs - _n_kept"))
             .drop("_n_kept"))
+
+
+def remove_duplicated_windows(df: DataFrame, n: int = 8,
+                              min_docs: int = 2,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring deduplication at token-window granularity
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better", §3 ExactSubstr, with the suffix-array scan
+    re-expressed relationally): any n-token window that appears in
+    >= `min_docs` documents keeps exactly ONE instance corpus-wide —
+    the smallest (doc_id, start) — and every token covered by any
+    OTHER instance of a duplicated window is removed; each document's
+    surviving tokens are reassembled in order.
+
+    Granularity sits between `paragraph_dedup` (whole lines) and
+    `curation.duplicate_ngram_report` (which only MEASURES the dup
+    rate): this op edits the text.  A token inside the keeper instance
+    of one window can still be removed if a different duplicated
+    window's non-keeper instance covers it (overlap rule — documented,
+    deterministic, and mirrored by the oracle).
+
+    Returns (doc_id, text, n_tokens, n_tokens_removed) — one row per
+    input document (empty-text rows survive).
+
+    Scale shape: windows explode (n× token volume) → census
+    hash-aggregate keyed by gram (map-side combined; only grams with
+    >= min_docs distinct docs survive) → join back duplicated
+    instances only (contamination-sized, not corpus-sized) → coverage
+    positions distinct → anti-join against the token table → per-doc
+    ordered regroup.  All shuffles linear; the hot key (a ubiquitous
+    boilerplate window) is bounded by running
+    `curation.remove_boilerplate_lines` first plus AQE skew-join.
+    At a real 100 TB the census would shard the gram by
+    `substr(md5(gram), 1, 2)` prefix — the groupBy key is already the
+    gram hash under the hood, so no code change, only partition count.
+    """
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.expr(toks).alias("toks"))
+            .withColumn("n_tokens", F.expr("size(toks)")))
+    wins = (f"CASE WHEN n_tokens >= {n} THEN "
+            f"transform(sequence(1, n_tokens - {n} + 1), "
+            f"i -> struct(i AS start, "
+            f"concat_ws(' ', slice(toks, i, {n})) AS gram)) "
+            f"ELSE CAST(array() AS "
+            f"ARRAY<STRUCT<start: INT, gram: STRING>>) END")
+    inst = (base.select("doc_id", F.explode(F.expr(wins)).alias("w"))
+            .select("doc_id", "w.start", "w.gram")
+            .withColumn("ikey", F.expr(
+                "concat(lpad(cast(doc_id AS string), 12, '0'), ':', "
+                "lpad(cast(start AS string), 9, '0'))")))
+    census = (inst.groupBy("gram")
+              .agg(F.countDistinct("doc_id").alias("_nd"),
+                   F.min("ikey").alias("_keeper"))
+              .where(f"_nd >= {min_docs}")
+              .drop("_nd"))
+    covered = (inst.join(census, "gram")
+               .where("ikey != _keeper")
+               .select("doc_id", F.explode(F.expr(
+                   f"sequence(start, start + {n} - 1)")).alias("pos"))
+               .distinct())
+    tokpos = (base.select("doc_id",
+                          F.posexplode("toks").alias("pos0", "tok"))
+              .withColumn("pos", F.expr("pos0 + 1")).drop("pos0"))
+    rebuilt = (tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+               .groupBy("doc_id")
+               .agg(F.expr("array_join(transform(array_sort("
+                           "collect_list(struct(pos, tok))), "
+                           "x -> x.tok), ' ')").alias("_text"),
+                    F.expr("cast(count(*) AS int)").alias("_n_kept")))
+    return (base.select("doc_id", "n_tokens")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.expr(f"coalesce(_text, '')").alias(text_col),
+                    "n_tokens",
+                    F.expr("n_tokens - coalesce(_n_kept, 0)")
+                    .alias("n_tokens_removed")))

@@ -142,16 +142,21 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
             .limit(k))
 
 
-def _tok_weight(tok: str) -> str:
-    """SQL: deterministic per-token weight in [-0.5, 0.5] — the value
-    of the token's first 16 md5 bits, scaled.  ascii() arithmetic so
-    Spark and a DuckDB oracle compute the identical double."""
+def _tok_hash16(tok: str) -> str:
+    """SQL: the token's first 16 md5 bits as an integer in
+    [0, 65535] — ascii() arithmetic so Spark and a DuckDB oracle
+    compute the identical value."""
     hx = [f"substring(md5({tok}), {i}, 1)" for i in (1, 2, 3, 4)]
-    val = " + ".join(
+    return "(" + " + ".join(
         f"(ascii({c}) - CASE WHEN {c} BETWEEN '0' AND '9' "
         f"THEN 48 ELSE 87 END) * {m}"
-        for c, m in zip(hx, (4096, 256, 16, 1)))
-    return f"(({val}) / 65535.0d - 0.5d)"
+        for c, m in zip(hx, (4096, 256, 16, 1))) + ")"
+
+
+def _tok_weight(tok: str) -> str:
+    """SQL: deterministic per-token weight in [-0.5, 0.5] — the
+    scaled 16-bit token hash."""
+    return f"({_tok_hash16(tok)} / 65535.0d - 0.5d)"
 
 
 def with_model_quality_score(df: DataFrame, text_col: str = "text",
@@ -243,3 +248,63 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = with_quality_score(out, text_col)
     out = with_token_counts(out, text_col)
     return with_fingerprint(out, text_col)
+
+
+def hashed_features(df: DataFrame, dim: int = 8,
+                    text_col: str = "text") -> DataFrame:
+    """Hashed bag-of-words feature vector for classifier training:
+    adds ``x`` = array<double> of length `dim` where
+    x_j = (# tokens whose 16-bit md5 hash lands in bucket j) /
+    max(n_tokens, 1).
+
+    Pure JVM projection (dim passes of `filter` over the token array
+    — dim is small, 4-16, the fastText convention); identical ascii
+    arithmetic to `_tok_weight`, so a DuckDB oracle reproduces the
+    exact doubles."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    nt = f"cast(greatest(size({toks}), 1) AS double)"
+    cells = ", ".join(
+        f"size(filter({toks}, t -> pmod({_tok_hash16('t')}, {dim}) = {j}))"
+        f" / {nt}"
+        for j in range(dim))
+    return df.withColumn("x", F.expr(f"array({cells})"))
+
+
+def train_quality_classifier(df: DataFrame, label_col: str = "label",
+                             dim: int = 8, n_iter: int = 3,
+                             lr: float = 1.0,
+                             text_col: str = "text",
+                             ) -> tuple[list[float], float]:
+    """Train the `with_model_quality_score` linear classifier on the
+    corpus itself: full-batch logistic-regression gradient descent,
+    one distributed pass per iteration.
+
+    Each iteration computes p = sigmoid(b + w·x) per document with the
+    CURRENT weights inlined as literals (pure codegen projection) and
+    reduces dim+1 gradient means in ONE hash-aggregate —
+    grad_j = avg((p − y)·x_j), grad_b = avg(p − y) — then the driver
+    applies w ← w − lr·grad (a dim-sized update, same driver-loop
+    shape as `similarity.ivf_train`'s Lloyd step).  The shuffle per
+    iteration carries dim+1 doubles per map task: nothing scales with
+    corpus size except the scan.
+
+    Serving the result = `with_model_quality_score` with these
+    weights broadcast (vocab hashing is shared via `_tok_hash16`).
+
+    Returns (weights, bias)."""
+    feats = hashed_features(df, dim=dim, text_col=text_col)
+    feats = feats.select(F.expr(f"cast({label_col} AS double)")
+                         .alias("y"), "x")
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(n_iter):
+        dot = " + ".join(f"({w[j]!r}d * element_at(x, {j + 1}))"
+                         for j in range(dim))
+        p = f"1.0d / (1.0d + exp(-({b!r}d + {dot})))"
+        aggs = [F.avg(F.expr(f"({p} - y)")).alias("gb")] + [
+            F.avg(F.expr(f"(({p}) - y) * element_at(x, {j + 1})"))
+            .alias(f"g{j}") for j in range(dim)]
+        row = feats.agg(*aggs).collect()[0]
+        b -= lr * row["gb"]
+        w = [w[j] - lr * row[f"g{j}"] for j in range(dim)]
+    return w, b

@@ -682,3 +682,210 @@ def test_ngram_windows_survive_short_docs(spark):
     assert simhash(df).count() == 4
     assert ngram_topk(df, n=5, k=3).count() == 0
     assert contamination_report(df, df.limit(1), n=8).count() == 0
+
+
+def test_bpe_train_matches_python_oracle(spark):
+    """Distributed BPE merge training (ops/tokenizer.bpe_train)
+    reproduces a pure-Python BPE trainer exactly: same merge list
+    (greedy argmax with count-desc, pair-asc tie-break) and same final
+    word segmentations."""
+    from collections import Counter
+    from crego_document_extractor_spark.ops import tokenizer
+
+    texts = ["low lower lowest low low",
+             "new newer newest new lower",
+             "wide wider widest new low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+
+    # -- pure-python oracle ------------------------------------------
+    wc = Counter(t for s in texts for t in s.lower().split())
+    syms = {w: list(w) for w in wc}
+
+    def census():
+        c = Counter()
+        for w, n in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += n
+        return c
+
+    exp_merges = []
+    for _ in range(6):
+        c = census()
+        if not c:
+            break
+        pair, cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if cnt < 2:
+            break
+        exp_merges.append(pair)
+        a, b = pair
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    merges, words = tokenizer.bpe_train(df, n_merges=6)
+    assert merges == exp_merges
+    got = {r["word"]: (r["symbols"], r["n_occurrences"])
+           for r in words.collect()}
+    assert got == {w: (syms[w], wc[w]) for w in wc}
+
+
+def test_bpe_pair_census_and_quote_safety(spark):
+    """pair_census counts weighted adjacent pairs; apply_merge is safe
+    for symbols containing SQL quote characters."""
+    from crego_document_extractor_spark.ops import tokenizer
+
+    df = spark.createDataFrame([(1, "ab ab ba it's")],
+                               "doc_id int, text string")
+    words = tokenizer.word_census(df)
+    top = tokenizer.pair_census(words, k=1).collect()[0]
+    assert (top["pair_left"], top["pair_right"],
+            top["n_occurrences"]) == ("a", "b", 2)  # the 2 'ab' words
+    merged = {r["word"]: r["symbols"] for r in
+              tokenizer.apply_merge(words, "'", "s").collect()}
+    assert merged["it's"] == ["i", "t", "'s"]
+
+
+def test_remove_duplicated_windows(spark):
+    """Exact-substring window dedup: the smallest (doc_id, start)
+    instance of a cross-doc duplicated n-gram survives, every other
+    instance's tokens are removed, unique text is untouched, and
+    empty/short docs survive as rows."""
+    from crego_document_extractor_spark.ops.dedup import (
+        remove_duplicated_windows)
+
+    shared = "alpha beta gamma delta"       # 4-token duplicated span
+    rows = [(1, f"intro one {shared} tail one"),
+            (2, f"intro two {shared} tail two"),
+            (3, f"{shared}"),
+            (4, "totally unique content here"),
+            (5, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           remove_duplicated_windows(df, n=4, min_docs=2).collect()}
+    # doc 1 holds the keeper instance (smallest doc_id:start) — intact
+    assert got[1]["text"] == rows[0][1]
+    assert got[1]["n_tokens_removed"] == 0
+    # doc 2 shares TWO overlapping windows with doc 1 ("alpha beta
+    # gamma delta" and "beta gamma delta tail") — union coverage is
+    # positions 3-7, so "tail" goes too
+    assert got[2]["text"] == "intro two two"
+    assert got[2]["n_tokens_removed"] == 5
+    assert got[3]["text"] == ""
+    assert got[3]["n_tokens_removed"] == 4
+    assert got[4]["text"] == rows[3][1]
+    assert got[4]["n_tokens_removed"] == 0
+    assert got[5]["text"] == "" and got[5]["n_tokens"] == 0
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_remove_duplicated_windows_vs_python_oracle(spark):
+    """Property check on a seeded corpus with overlapping duplicated
+    windows: Spark output equals a direct python evaluation of the
+    documented rule (union of non-keeper duplicated-window coverage)."""
+    import random
+    from crego_document_extractor_spark.ops.dedup import (
+        remove_duplicated_windows)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    shared_a = ["s1", "s2", "s3"]
+    shared_b = ["s2", "s3", "s4"]       # overlaps shared_a
+    texts = {}
+    for d in range(20):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 9))]
+        if d % 3 == 0:
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + shared_a + toks[pos:]
+        if d % 4 == 0:
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + shared_b + toks[pos:]
+        texts[d] = toks
+
+    n, min_docs = 3, 2
+    inst = []                          # (gram, doc, start[1-based])
+    for d, toks in texts.items():
+        for i in range(len(toks) - n + 1):
+            inst.append((" ".join(toks[i:i + n]), d, i + 1))
+    from collections import defaultdict
+    by_gram = defaultdict(list)
+    for g, d, s in inst:
+        by_gram[g].append((d, s))
+    removed = defaultdict(set)
+    for g, occ in by_gram.items():
+        if len({d for d, _ in occ}) < min_docs:
+            continue
+        keeper = min(occ, key=lambda ds: (f"{ds[0]:012d}", f"{ds[1]:09d}"))
+        for d, s in occ:
+            if (d, s) != keeper:
+                removed[d].update(range(s, s + n))
+    exp = {}
+    for d, toks in texts.items():
+        kept = [t for i, t in enumerate(toks, 1) if i not in removed[d]]
+        exp[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()],
+        "doc_id int, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+           for r in remove_duplicated_windows(df, n=n,
+                                              min_docs=min_docs).collect()}
+    assert got == exp
+
+
+def test_train_quality_classifier_matches_numpy(spark):
+    """Distributed full-batch logistic GD reproduces a numpy
+    implementation of the same iterations exactly (same hashed
+    features, same update rule), and the learned model separates a
+    token-signal labelling."""
+    import hashlib
+    import numpy as np
+    from crego_document_extractor_spark.ops.textstats import (
+        hashed_features, train_quality_classifier)
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        y = i % 2
+        # class vocabularies land in DISJOINT md5%4 buckets (2 vs 1),
+        # so the hashed features make the classes linearly separable
+        base = ["fine", "great", "excellent"] if y else ["noise", "terrible"]
+        toks = [base[int(rng.integers(len(base)))] for _ in range(8)]
+        rows.append((i, " ".join(toks), y))
+    df = spark.createDataFrame(rows, "doc_id int, text string, label int")
+
+    dim, n_iter, lr = 4, 3, 2.0
+
+    def feats(text):
+        toks = [t for t in text.lower().split() if t]
+        x = np.zeros(dim)
+        for t in toks:
+            x[int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % dim] += 1
+        return x / max(len(toks), 1)
+
+    X = np.array([feats(t) for _, t, _ in rows])
+    Y = np.array([y for _, _, y in rows], dtype=float)
+    w, b = np.zeros(dim), 0.0
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(b + X @ w)))
+        w = w - lr * ((p - Y)[:, None] * X).mean(axis=0)
+        b = b - lr * (p - Y).mean()
+
+    gw, gb = train_quality_classifier(df, dim=dim, n_iter=n_iter, lr=lr)
+    assert np.allclose(gw, w, atol=1e-12) and abs(gb - b) < 1e-12
+
+    # the served model separates the two classes
+    fx = hashed_features(df, dim=dim)
+    dot = " + ".join(f"({gw[j]!r}d * element_at(x, {j + 1}))"
+                     for j in range(dim))
+    scored = fx.withColumn("p", F.expr(
+        f"1.0d / (1.0d + exp(-({gb!r}d + {dot})))"))
+    agg = scored.groupBy("label").agg(F.avg("p").alias("mp")).collect()
+    mp = {r["label"]: r["mp"] for r in agg}
+    assert mp[1] > mp[0] + 0.1
