@@ -728,6 +728,51 @@ def _q_dup_ngrams(spark, sf):
     return duplicate_ngram_report(seeded, n=8, min_docs=2)
 
 
+def _q_bpe_pair_census(spark, sf):
+    """BPE tokenizer induction, step-0 pair census
+    (ops/tokenizer.word_census + pair_census): the corpus is
+    aggregated to the distinct-word table ONCE, then adjacent
+    character pairs are counted weighted by word frequency — the
+    argmax of this table is the first BPE merge.  DuckDB rebuilds the
+    identical census from the same whitespace/character splits."""
+    from crego_document_extractor_spark.ops import tokenizer
+    d = _t(spark, sf, "documents").select("text")
+    return tokenizer.pair_census(tokenizer.word_census(d), k=25)
+
+
+def _q_dup_windows(spark, sf):
+    """Exact-substring dedup at 8-token-window granularity
+    (ops/dedup.remove_duplicated_windows, Lee et al. 2022
+    ExactSubstr): every cross-doc duplicated window keeps its
+    smallest (doc_id, start) instance; tokens covered by any other
+    instance are removed and documents are reassembled in order.
+    The corpus' natural exact duplicates (q_dedup_exact's 20 groups)
+    make the removal non-vacuous; DuckDB replays the identical
+    keeper/coverage rule."""
+    from crego_document_extractor_spark.ops.dedup import (
+        remove_duplicated_windows)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return remove_duplicated_windows(d, n=8, min_docs=2)
+
+
+def _q_logreg_train(spark, sf):
+    """Distributed quality-classifier training
+    (ops/textstats.train_quality_classifier): 2 full-batch logistic
+    GD iterations over dim-4 hashed bag-of-words features, label =
+    doc_id % 2; one dim+1-double aggregate per iteration.  The
+    returned model (bias at idx -1) is the deliverable; DuckDB
+    replays both iterations closed-form via CTEs on the identical
+    ascii-md5 feature hashing."""
+    from crego_document_extractor_spark.ops.textstats import (
+        train_quality_classifier)
+    d = (_t(spark, sf, "documents")
+         .select("text", F.expr("cast(doc_id % 2 AS int)").alias("label")))
+    w, b = train_quality_classifier(d, dim=4, n_iter=2, lr=1.0)
+    rows = [(-1, float(b))] + [(j, float(w[j])) for j in range(4)]
+    out = spark.createDataFrame(rows, "idx int, weight double")
+    return out.select("idx", F.round("weight", 6).alias("weight"))
+
+
 def _q_epoch_shard(spark, sf):
     """Deterministic epoch shuffle + shard (ops/curation.epoch_shard):
     the oracle rebuilds shard ids from the same md5 ascii() arithmetic
@@ -1210,6 +1255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
+        "q_bpe_pair_census": _q_bpe_pair_census,
+        "q_dup_windows": _q_dup_windows,
+        "q_logreg_train": _q_logreg_train,
         "q_epoch_shard": _q_epoch_shard,
         "q_ivf_ann_recall": _q_ivf_ann_recall,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
@@ -1232,6 +1280,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --- DuckDB twins for the inline nested-table queries -----------------------
+
+def _duck_hash16(tok: str) -> str:
+    """DuckDB twin of ops/textstats._tok_hash16 (first 16 md5 bits as
+    an int via ascii() arithmetic)."""
+    return "(" + " + ".join(
+        f"(ascii(substr(md5({tok}), {i}, 1)) - "
+        f"CASE WHEN substr(md5({tok}), {i}, 1) BETWEEN '0' AND '9' "
+        f"THEN 48 ELSE 87 END) * {m}"
+        for i, m in ((1, 4096), (2, 256), (3, 16), (4, 1))) + ")"
+
 
 def _duck_clean(v: str) -> str:
     return (f"coalesce(try_cast(regexp_replace(trim({v}), ',|₹|Rs', '', 'g') "
@@ -2111,6 +2169,103 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(g.grams) AS DOUBLE)
                         ELSE 0.0 END AS dup_ratio
             FROM g LEFT JOIN d USING (doc_id)
+        """,
+        "q_bpe_pair_census": """
+            WITH w AS (
+              SELECT u.w AS word, count(*) AS n_occ
+              FROM documents,
+                   UNNEST(list_filter(regexp_split_to_array(lower(text),
+                     '\\s+'), t -> t != '')) AS u(w)
+              GROUP BY u.w),
+            s AS (SELECT word, n_occ,
+                         list_filter(string_split(word, ''),
+                                     c -> c != '') AS sym
+                  FROM w),
+            p AS (SELECT sym[i] AS pair_left, sym[i + 1] AS pair_right,
+                         n_occ
+                  FROM s, UNNEST(range(1, len(sym))) AS u(i))
+            SELECT pair_left, pair_right,
+                   CAST(sum(n_occ) AS BIGINT) AS n_occurrences
+            FROM p GROUP BY pair_left, pair_right
+            ORDER BY n_occurrences DESC, pair_left ASC, pair_right ASC
+            LIMIT 25
+        """,
+        "q_dup_windows": """
+            WITH b AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 t -> t != '') AS toks
+              FROM documents),
+            b2 AS (SELECT doc_id, toks,
+                          CAST(len(toks) AS INT) AS n_tokens FROM b),
+            inst AS (
+              SELECT doc_id, i AS start,
+                     array_to_string(toks[i:i + 7], ' ') AS gram,
+                     lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+                     lpad(CAST(i AS VARCHAR), 9, '0') AS ikey
+              FROM b2, UNNEST(range(1, greatest(n_tokens - 8 + 1, 0)
+                                       + 1)) AS u(i)),
+            c AS (SELECT gram, min(ikey) AS keeper FROM inst
+                  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (SELECT DISTINCT inst.doc_id, inst.start + o AS pos
+                    FROM inst JOIN c USING (gram),
+                         UNNEST(range(0, 8)) AS v(o)
+                    WHERE inst.ikey != c.keeper),
+            tp AS (SELECT doc_id, p AS pos, toks[p] AS tok
+                   FROM b2, UNNEST(range(1, len(toks) + 1)) AS u(p)),
+            kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                     FROM tp LEFT JOIN cov
+                       ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+                     WHERE cov.doc_id IS NULL),
+            reb AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos) AS text,
+                           CAST(count(*) AS INT) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT b2.doc_id, coalesce(reb.text, '') AS text,
+                   b2.n_tokens,
+                   b2.n_tokens - coalesce(reb.n_kept, 0)
+                     AS n_tokens_removed
+            FROM b2 LEFT JOIN reb USING (doc_id)
+        """,
+        "q_logreg_train": f"""
+            WITH t AS (
+              SELECT CAST(doc_id % 2 AS DOUBLE) AS y,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            x AS (SELECT y, [
+              {", ".join(
+                  f"len(list_filter(toks, tk -> ({_duck_hash16('tk')} % 4)"
+                  f" = {j})) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+                  for j in range(4))}] AS x
+              FROM t),
+            g0 AS (SELECT avg(0.5 - y) AS gb,
+                          avg((0.5 - y) * x[1]) AS g1,
+                          avg((0.5 - y) * x[2]) AS g2,
+                          avg((0.5 - y) * x[3]) AS g3,
+                          avg((0.5 - y) * x[4]) AS g4 FROM x),
+            p1 AS (SELECT x.y, x.x AS x,
+                          1.0 / (1.0 + exp(-((-g0.gb)
+                            + (-g0.g1) * x.x[1] + (-g0.g2) * x.x[2]
+                            + (-g0.g3) * x.x[3] + (-g0.g4) * x.x[4])))
+                            AS p
+                   FROM x, g0),
+            g1t AS (SELECT avg(p - y) AS hb,
+                           avg((p - y) * x[1]) AS h1,
+                           avg((p - y) * x[2]) AS h2,
+                           avg((p - y) * x[3]) AS h3,
+                           avg((p - y) * x[4]) AS h4 FROM p1),
+            fin AS (SELECT (-g0.gb - g1t.hb) AS b,
+                           (-g0.g1 - g1t.h1) AS w1,
+                           (-g0.g2 - g1t.h2) AS w2,
+                           (-g0.g3 - g1t.h3) AS w3,
+                           (-g0.g4 - g1t.h4) AS w4
+                    FROM g0, g1t)
+            SELECT -1 AS idx, round(b, 6) AS weight FROM fin
+            UNION ALL SELECT 0, round(w1, 6) FROM fin
+            UNION ALL SELECT 1, round(w2, 6) FROM fin
+            UNION ALL SELECT 2, round(w3, 6) FROM fin
+            UNION ALL SELECT 3, round(w4, 6) FROM fin
         """,
         "q_epoch_shard": """
             WITH k AS (
