@@ -773,6 +773,19 @@ def _q_logreg_train(spark, sf):
     return out.select("idx", F.round("weight", 6).alias("weight"))
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup (ops/dedup.semantic_dedup): deterministic md5-drawn
+    8-cell codebook → codegen cell assign → within-cell cosine ≥ 0.4
+    pairs → min-label components → min-id survivor per component.
+    DuckDB replays every stage (the components via the same recursive
+    CTE as q_dedup_canonical); the corpus' planted embedding
+    near-dups make the removal non-vacuous."""
+    from crego_document_extractor_spark.ops.dedup import semantic_dedup
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup(e, n_cells=8, threshold=0.4,
+                          n_iter=0).select("vec_id", "cell")
+
+
 def _q_epoch_shard(spark, sf):
     """Deterministic epoch shuffle + shard (ops/curation.epoch_shard):
     the oracle rebuilds shard ids from the same md5 ascii() arithmetic
@@ -1258,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pair_census": _q_bpe_pair_census,
         "q_dup_windows": _q_dup_windows,
         "q_logreg_train": _q_logreg_train,
+        "q_semantic_dedup": _q_semantic_dedup,
         "q_epoch_shard": _q_epoch_shard,
         "q_ivf_ann_recall": _q_ivf_ann_recall,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
@@ -2266,6 +2280,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1, round(w2, 6) FROM fin
             UNION ALL SELECT 2, round(w3, 6) FROM fin
             UNION ALL SELECT 3, round(w4, 6) FROM fin
+        """,
+        "q_semantic_dedup": """
+            WITH RECURSIVE
+                 e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+                 c0 AS (SELECT v AS cv,
+                               row_number() OVER (
+                                 ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                          vec_id) - 1 AS cell
+                        FROM e
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                        LIMIT 8),
+                 sim AS (SELECT e.vec_id, e.v, c0.cell,
+                                list_dot_product(e.v, c0.cv) /
+                                (sqrt(list_dot_product(e.v, e.v)) *
+                                 sqrt(list_dot_product(c0.cv, c0.cv)))
+                                  AS s
+                         FROM e, c0),
+                 asg AS (SELECT vec_id, v, cell FROM (
+                           SELECT vec_id, v, cell,
+                                  row_number() OVER (
+                                    PARTITION BY vec_id
+                                    ORDER BY s DESC, cell ASC) AS rn
+                           FROM sim) WHERE rn = 1),
+                 p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+                       FROM asg a JOIN asg b
+                         ON a.cell = b.cell AND a.vec_id < b.vec_id
+                       WHERE list_dot_product(a.v, b.v) /
+                             (sqrt(list_dot_product(a.v, a.v)) *
+                              sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+                 eg AS (SELECT d1 AS u, d2 AS w FROM p
+                        UNION SELECT d2, d1 FROM p),
+                 reach(u, label) AS (
+                   SELECT u, u FROM (SELECT DISTINCT u FROM eg) nodes
+                   UNION
+                   SELECT eg.u, r.label FROM eg JOIN reach r
+                     ON eg.w = r.u),
+                 cl AS (SELECT u AS vec_id, min(label) AS cluster_id
+                        FROM reach GROUP BY u)
+            SELECT asg.vec_id, CAST(asg.cell AS INT) AS cell
+            FROM asg LEFT JOIN cl USING (vec_id)
+            WHERE cl.cluster_id IS NULL OR asg.vec_id = cl.cluster_id
         """,
         "q_epoch_shard": """
             WITH k AS (

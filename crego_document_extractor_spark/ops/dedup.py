@@ -425,3 +425,52 @@ def remove_duplicated_windows(df: DataFrame, n: int = 8,
                     "n_tokens",
                     F.expr("n_tokens - coalesce(_n_kept, 0)")
                     .alias("n_tokens_removed")))
+
+
+def semantic_dedup(items: DataFrame, n_cells: int = 8,
+                   threshold: float = 0.9, n_iter: int = 0,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   quality_col: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedding column — cluster the space coarsely, find ε-similar
+    pairs WITHIN each cluster, and keep one representative per
+    connected component.
+
+    Composition of the engine's existing primitives, which is exactly
+    how the paper computes it:
+
+    1. coarse codebook — `similarity.ivf_train` (`n_iter` Lloyd
+       steps) or the deterministic `ivf_centroids` draw when
+       ``n_iter=0``;
+    2. cell assignment — the literal-codebook codegen projection
+       (`ivf_cells_expr`): a narrow map, NO shuffle;
+    3. within-cell cosine pairs ≥ `threshold` — an equi-join on the
+       cell id; the quadratic is bounded per cell (the SemDeDup
+       design point: n_cells grows with the corpus so cells stay
+       ~constant-sized), never corpus-wide;
+    4. components — `duplicate_clusters` min-label propagation;
+    5. survivors — `keep_canonical` (quality argmax, else the
+       min-id cluster label itself; the unclustered majority passes
+       through a left join untouched).
+
+    Returns the surviving rows of `items` with their ``cell``."""
+    from .similarity import (ivf_centroids, ivf_train, ivf_cells_expr,
+                             cosine_expr)
+    cents = (ivf_train(items, n_cells, n_iter, id_col, vec_col)
+             if n_iter else
+             ivf_centroids(items, n_cells, id_col, vec_col))
+    asg = items.withColumn(
+        "cell", F.expr(ivf_cells_expr(cents, vec_col, 1))[0])
+    a = asg.select(F.col("cell").alias("_c"),
+                   F.col(id_col).alias("d1"),
+                   F.col(vec_col).alias("_v1"))
+    b = asg.select(F.col("cell").alias("_c"),
+                   F.col(id_col).alias("d2"),
+                   F.col(vec_col).alias("_v2"))
+    pairs = (a.join(b, "_c")
+             .where(F.col("d1") < F.col("d2"))
+             .where(F.expr(f"{cosine_expr('_v1', '_v2')} >= "
+                           f"{float(threshold)!r}d"))
+             .select("d1", "d2"))
+    clusters = duplicate_clusters(pairs)
+    return keep_canonical(asg, clusters, quality_col, id_col=id_col)

@@ -889,3 +889,25 @@ def test_train_quality_classifier_matches_numpy(spark):
     agg = scored.groupBy("label").agg(F.avg("p").alias("mp")).collect()
     mp = {r["label"]: r["mp"] for r in agg}
     assert mp[1] > mp[0] + 0.1
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup composition: within-cell ε-similar components keep
+    one representative (min id, or quality argmax when given);
+    isolated vectors pass through."""
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0.1),
+        (2, [0.999, 0.04, 0.0], 0.9),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0], 0.5),
+        (4, [0.02, 0.999, 0.0], 0.2),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0], 0.3),      # isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, quality double")
+    kept = {r["vec_id"] for r in
+            dedup.semantic_dedup(df, n_cells=1, threshold=0.95).collect()}
+    assert kept == {1, 3, 5}            # min-id survivor per component
+    keptq = {r["vec_id"] for r in
+             dedup.semantic_dedup(df, n_cells=1, threshold=0.95,
+                                  quality_col="quality").collect()}
+    assert keptq == {2, 3, 5}           # quality argmax flips cluster 1
