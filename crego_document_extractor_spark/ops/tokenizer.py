@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["word_census", "pair_census", "apply_merge", "bpe_train"]
+__all__ = ["word_census", "pair_census", "apply_merge", "bpe_train",
+           "bpe_encode"]
 
 _EMPTY_ARR = "CAST(array() AS ARRAY<STRING>)"
 
@@ -116,3 +117,66 @@ def bpe_train(df: DataFrame, n_merges: int = 10,
         if (step + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
     return merges, words
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """Serve a trained BPE model: segment every document with the
+    learned merge list, adding ``bpe_pieces`` (array<string>) and
+    ``n_bpe_pieces``.
+
+    This is the honest 100 TB shape for tokenizer SERVING — an
+    Arrow-batched mapInPandas stage (narrow, no shuffle), exactly how
+    production pipelines tokenize: the merge table rides the task
+    closure (a few thousand pairs), each worker memoizes the encoding
+    per distinct word, and the greedy fold applies merges in learned
+    order — bit-identical to the training-time `apply_merge` fold, so
+    ``encode(train_corpus)`` reproduces the final training vocabulary
+    segmentations (pinned by test).
+
+    A pure-JVM alternative (chaining `apply_merge`'s fold n_merges
+    deep over the corpus) types out the same result but nests
+    n_merges interpreted HOFs per row — the Python stage with per-word
+    memoization is measurably the right trade here, like the fused
+    parse stage (BENCH/ENGINE_AB.md)."""
+
+    mlist = [tuple(m) for m in merges]
+
+    def _encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        for a, b in mlist:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def _batches(batches):
+        cache: dict = {}
+        for pdf in batches:
+            pieces = []
+            for text in pdf[text_col]:
+                toks = [t for t in (text or "").lower().split() if t]
+                doc: list[str] = []
+                for t in toks:
+                    doc.extend(_encode_word(t, cache))
+                pieces.append(doc)
+            out = pdf.copy()
+            out["bpe_pieces"] = pieces
+            out["n_bpe_pieces"] = [len(p) for p in pieces]
+            yield out
+
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+    # StructType.add MUTATES the receiver — never call it on df.schema
+    schema = StructType(list(df.schema.fields) + [
+        StructField("bpe_pieces", ArrayType(StringType())),
+        StructField("n_bpe_pieces", IntegerType())])
+    return df.mapInPandas(_batches, schema=schema)

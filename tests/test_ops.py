@@ -911,3 +911,28 @@ def test_semantic_dedup(spark):
              dedup.semantic_dedup(df, n_cells=1, threshold=0.95,
                                   quality_col="quality").collect()}
     assert keptq == {2, 3, 5}           # quality argmax flips cluster 1
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Serving a trained BPE model over the training corpus
+    reproduces the final training segmentations exactly (encode's
+    greedy per-merge fold == apply_merge's fold), with per-doc piece
+    concatenation in token order."""
+    from crego_document_extractor_spark.ops import tokenizer
+
+    texts = ["low lower lowest low low",
+             "new newer newest new lower",
+             "wide wider widest new low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    merges, words = tokenizer.bpe_train(df, n_merges=6)
+    seg = {r["word"]: list(r["symbols"]) for r in words.collect()}
+    got = {r["doc_id"]: (list(r["bpe_pieces"]), r["n_bpe_pieces"])
+           for r in tokenizer.bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        exp = [p for tok in t.lower().split() for p in seg[tok]]
+        assert got[i] == (exp, len(exp)), i
+    # unseen text still encodes (characters + any applicable merges)
+    df2 = spark.createDataFrame([(9, "lowly")], "doc_id int, text string")
+    enc = tokenizer.bpe_encode(df2, merges).collect()[0]
+    assert "".join(enc["bpe_pieces"]) == "lowly"
