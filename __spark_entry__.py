@@ -786,6 +786,21 @@ def _q_semantic_dedup(spark, sf):
                           n_iter=0).select("vec_id", "cell")
 
 
+def _q_perplexity(spark, sf):
+    """CCNet-style perplexity filter signal (ops/textstats.
+    ngram_lm_train + with_perplexity): a bigram LM trained on the
+    corpus itself (distributed vocab-sized censuses, BOS framing)
+    scores every document with add-one smoothing.  DuckDB rebuilds
+    the identical censuses and per-doc average log-prob."""
+    from crego_document_extractor_spark.ops.textstats import (
+        ngram_lm_train, with_perplexity)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    _uni, bi, stats = ngram_lm_train(d)
+    return (with_perplexity(d, bi, stats)
+            .select("doc_id", "lm_n_scored", "lm_avg_logp",
+                    "lm_perplexity"))
+
+
 def _q_epoch_shard(spark, sf):
     """Deterministic epoch shuffle + shard (ops/curation.epoch_shard):
     the oracle rebuilds shard ids from the same md5 ascii() arithmetic
@@ -1272,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_windows": _q_dup_windows,
         "q_logreg_train": _q_logreg_train,
         "q_semantic_dedup": _q_semantic_dedup,
+        "q_perplexity": _q_perplexity,
         "q_epoch_shard": _q_epoch_shard,
         "q_ivf_ann_recall": _q_ivf_ann_recall,
         "q_a9b_engine_agreement": _q_a9b_engine_agreement,
@@ -2322,6 +2338,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT asg.vec_id, CAST(asg.cell AS INT) AS cell
             FROM asg LEFT JOIN cl USING (vec_id)
             WHERE cl.cluster_id IS NULL OR asg.vec_id = cl.cluster_id
+        """,
+        "q_perplexity": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     CASE WHEN i = 1 THEN '<s>'
+                          ELSE toks[i - 1] END AS w1,
+                     toks[i] AS w2
+              FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+            bi AS (SELECT w1, w2, count(*) AS c_bi FROM bg
+                   GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c_bi) AS c_ctx FROM bi GROUP BY w1),
+            v AS (SELECT count(DISTINCT w) AS vocab
+                  FROM (SELECT unnest(toks) AS w FROM t) q),
+            sc AS (
+              SELECT bg.doc_id,
+                     ln((coalesce(bi.c_bi, 0) + 1) /
+                        CAST(coalesce(ctx.c_ctx, 0) + v.vocab
+                             AS DOUBLE)) AS logp
+              FROM bg LEFT JOIN bi USING (w1, w2)
+                      LEFT JOIN ctx USING (w1), v),
+            a AS (SELECT doc_id, CAST(count(*) AS INT) AS lm_n_scored,
+                         round(avg(logp), 6) AS lm_avg_logp,
+                         round(exp(-avg(logp)), 6) AS lm_perplexity
+                  FROM sc GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.lm_n_scored, 0) AS lm_n_scored,
+                   a.lm_avg_logp, a.lm_perplexity
+            FROM t LEFT JOIN a USING (doc_id)
         """,
         "q_epoch_shard": """
             WITH k AS (

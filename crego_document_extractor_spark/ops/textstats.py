@@ -308,3 +308,76 @@ def train_quality_classifier(df: DataFrame, label_col: str = "label",
         b -= lr * row["gb"]
         w = [w[j] - lr * row[f"g{j}"] for j in range(dim)]
     return w, b
+
+
+def ngram_lm_train(df: DataFrame, text_col: str = "text",
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a bigram language model on the corpus (the CCNet/KenLM
+    perplexity-filter device, at bigram order): returns
+    ``(unigrams, bigrams, stats)`` DataFrames —
+    (w, c_w), (w1, w2, c_bi), and a 1-row (vocab_size, n_tokens).
+
+    The model stays DISTRIBUTED (vocab-sized tables, never
+    collected): at 100 TB the bigram table is far too large for the
+    driver, and scoring joins against it directly.  Each census is
+    one explode → map-side-combined hash aggregate.  Documents are
+    sentence-framed with a BOS token ``<s>`` so the first word is
+    scored too."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    uni = (df.select(F.explode(F.expr(toks)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c_w")))
+    bi_pairs = (f"CASE WHEN size({toks}) >= 1 THEN "
+                f"transform(sequence(1, size({toks})), i -> struct("
+                f"CASE WHEN i = 1 THEN '<s>' "
+                f"ELSE try_element_at({toks}, i - 1) END AS w1, "
+                f"try_element_at({toks}, i) AS w2)) "
+                f"ELSE CAST(array() AS "
+                f"ARRAY<STRUCT<w1: STRING, w2: STRING>>) END")
+    bi = (df.select(F.explode(F.expr(bi_pairs)).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(F.count("*").alias("c_bi")))
+    stats = uni.agg(F.count("*").alias("vocab_size"),
+                    F.sum("c_w").alias("n_tokens"))
+    return uni, bi, stats
+
+
+def with_perplexity(df: DataFrame, bi: DataFrame, stats: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """Score each document under the bigram model with add-one
+    smoothing: logp(w2|w1) = ln((c_bi + 1) / (c_ctx + V)) where c_ctx
+    is the context count (<s> contexts use the document count of the
+    training census's BOS bigrams = sum over c_bi with w1='<s>';
+    here, symmetrically, ctx('<s>') falls back to V-smoothed zero) —
+    adds ``lm_n_scored``, ``lm_avg_logp``, ``lm_perplexity``.
+
+    Scale shape: doc-bigram explode (linear) → two vocab-sized
+    left joins (AQE picks broadcast when the model fits, sort-merge
+    otherwise) → per-doc hash aggregate.  The perplexity filter of
+    CCNet drops docs above a per-language percentile of
+    ``lm_perplexity`` — composable with `corpus_scorecard`."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    bi_pairs = (f"CASE WHEN size({toks}) >= 1 THEN "
+                f"transform(sequence(1, size({toks})), i -> struct("
+                f"CASE WHEN i = 1 THEN '<s>' "
+                f"ELSE try_element_at({toks}, i - 1) END AS w1, "
+                f"try_element_at({toks}, i) AS w2)) "
+                f"ELSE CAST(array() AS "
+                f"ARRAY<STRUCT<w1: STRING, w2: STRING>>) END")
+    ids = df.select("doc_id", F.explode(F.expr(bi_pairs)).alias("p")) \
+            .select("doc_id", "p.w1", "p.w2")
+    ctx = (bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx")))
+    scored = (ids
+              .join(bi, ["w1", "w2"], "left")
+              .join(ctx, ["w1"], "left")
+              .crossJoin(F.broadcast(stats.select("vocab_size")))
+              .withColumn("logp", F.expr(
+                  "ln((coalesce(c_bi, 0) + 1) / "
+                  "cast(coalesce(c_ctx, 0) + vocab_size AS double))")))
+    agg = (scored.groupBy("doc_id")
+           .agg(F.expr("cast(count(*) AS int)").alias("lm_n_scored"),
+                F.expr("round(avg(logp), 6)").alias("lm_avg_logp"),
+                F.expr("round(exp(-avg(logp)), 6)")
+                .alias("lm_perplexity")))
+    return (df.join(agg, "doc_id", "left")
+            .withColumn("lm_n_scored",
+                        F.expr("coalesce(lm_n_scored, 0)")))

@@ -936,3 +936,51 @@ def test_bpe_encode_roundtrip(spark):
     df2 = spark.createDataFrame([(9, "lowly")], "doc_id int, text string")
     enc = tokenizer.bpe_encode(df2, merges).collect()[0]
     assert "".join(enc["bpe_pieces"]) == "lowly"
+
+
+def test_ngram_lm_perplexity_matches_python(spark):
+    """Bigram LM training + add-one-smoothed scoring reproduces a
+    direct python computation (BOS framing, context counts, vocab
+    smoothing); empty docs survive with lm_n_scored=0."""
+    import math
+    from collections import Counter
+    from crego_document_extractor_spark.ops.textstats import (
+        ngram_lm_train, with_perplexity)
+
+    texts = {1: "the cat sat on the mat",
+             2: "the cat ran",
+             3: "a dog sat",
+             4: ""}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id int, text string")
+    uni, bi, stats = ngram_lm_train(df)
+
+    # -- python oracle ----------------------------------------------
+    def bigrams(t):
+        toks = t.lower().split()
+        return [("<s>" if i == 0 else toks[i - 1], toks[i])
+                for i in range(len(toks))]
+
+    cbi = Counter(bg for t in texts.values() for bg in bigrams(t))
+    cctx = Counter()
+    for (w1, _), c in cbi.items():
+        cctx[w1] += c
+    vocab = len({w for t in texts.values() for w in t.lower().split()})
+    exp = {}
+    for d, t in texts.items():
+        bgs = bigrams(t)
+        if not bgs:
+            exp[d] = (0, None, None)
+            continue
+        lps = [math.log((cbi[bg] + 1) / (cctx[bg[0]] + vocab))
+               for bg in bgs]
+        avg = sum(lps) / len(lps)
+        exp[d] = (len(bgs), round(avg, 6), round(math.exp(-avg), 6))
+
+    got = {r["doc_id"]: (r["lm_n_scored"], r["lm_avg_logp"],
+                         r["lm_perplexity"])
+           for r in with_perplexity(df, bi, stats).collect()}
+    assert got == exp
+    # trained stats are what the oracle used
+    s = stats.collect()[0]
+    assert s["vocab_size"] == vocab
