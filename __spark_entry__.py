@@ -690,6 +690,32 @@ def _q_decontaminate(spark, sf):
     return contamination_report(corpus, evals, n=8)
 
 
+def _q_tfidf_topk(spark, sf):
+    """Per-doc top-3 keywords by tf-idf (ops/textstats.tfidf_topk):
+    tf and df off one exploded aggregate, corpus N via a one-row
+    broadcast, WindowGroupLimit top-k.  Restricted to doc_id % 5 == 0
+    so the driver compare stays small at any sf."""
+    from crego_document_extractor_spark.ops.textstats import tfidf_topk
+    d = (_t(spark, sf, "documents")
+         .where("doc_id % 5 = 0").select("doc_id", "text"))
+    return tfidf_topk(d, k=3)
+
+
+def _q_dsir_select(spark, sf):
+    """DSIR importance resampling (ops/curation.dsir_select, Xie et
+    al. 2023): target distribution = the English slice, raw pool =
+    everything else; hashed-bigram bucket censuses (64 buckets)
+    → literal log-ratio table → zero-shuffle codegen fold per doc →
+    Gumbel-top-25.  The oracle replays the censuses, the smoothing,
+    the fold, and the Gumbel keys relationally in DuckDB."""
+    from crego_document_extractor_spark.ops.curation import dsir_select
+    d = _t(spark, sf, "documents")
+    target = d.where("lang = 'en'").select("doc_id", "text")
+    raw = d.where("lang != 'en'").select("doc_id", "text")
+    return (dsir_select(raw, target, k=25, n_buckets=64, n=2)
+            .select("doc_id", "dsir_logw", "dsir_key"))
+
+
 def _q_paragraph_dedup(spark, sf):
     """Corpus-global keep-first paragraph dedup (ops/dedup.
     paragraph_dedup) over a deterministically line-ified corpus where
@@ -1281,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": _q_repetition_stats,
         "q_ngram_topk": _q_ngram_topk,
         "q_decontaminate": _q_decontaminate,
+        "q_dsir_select": _q_dsir_select,
+        "q_tfidf_topk": _q_tfidf_topk,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2114,6 +2142,81 @@ def oracle_sql() -> dict[str, str]:
                    min(cg.gram) AS first_gram
             FROM cg JOIN ev USING (gram)
             GROUP BY cg.doc_id
+        """,
+        # full relational replay of DSIR: both bucket censuses, the
+        # add-0.5-smoothed log-ratio table (round 6, matching the
+        # literal the Spark plan embeds), the per-doc fold (round 4;
+        # join+sum here vs text-order fold there — both sides round
+        # away the last-ulp float-order slack), and the Gumbel keys
+        "q_dsir_select": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     list_transform(range(1, greatest(len(toks) - 1, 0)
+                                          + 1),
+                       i -> array_to_string(toks[i:i + 1], ' ')) AS grams
+              FROM tok),
+            tgtc AS (SELECT {_duck_hash16('gram')} % 64 AS b,
+                            count(*) AS c
+                     FROM (SELECT unnest(grams) AS gram FROM g
+                           WHERE lang = 'en') GROUP BY 1),
+            rawc AS (SELECT {_duck_hash16('gram')} % 64 AS b,
+                            count(*) AS c
+                     FROM (SELECT unnest(grams) AS gram FROM g
+                           WHERE lang != 'en') GROUP BY 1),
+            tots AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgtc) AS tt,
+                            (SELECT coalesce(sum(c), 0) FROM rawc) AS tr),
+            lr AS (SELECT bs.b,
+                     round(ln((coalesce(tg.c, 0) + 0.5) / (tots.tt + 32.0))
+                         - ln((coalesce(rw.c, 0) + 0.5) / (tots.tr + 32.0)),
+                       6) AS v
+                   FROM (SELECT unnest(range(0, 64)) AS b) bs
+                   LEFT JOIN tgtc tg ON tg.b = bs.b
+                   LEFT JOIN rawc rw ON rw.b = bs.b, tots),
+            docg AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                     WHERE lang != 'en'),
+            w0 AS (SELECT docg.doc_id, sum(lr.v) AS s
+                   FROM docg JOIN lr
+                     ON lr.b = {_duck_hash16('docg.gram')} % 64
+                   GROUP BY 1),
+            w AS (SELECT d.doc_id, round(coalesce(w0.s, 0.0), 4)
+                           AS dsir_logw
+                  FROM documents d LEFT JOIN w0 USING (doc_id)
+                  WHERE d.lang != 'en'),
+            keyed AS (SELECT doc_id, dsir_logw,
+                        round(dsir_logw + round(-ln(-ln((
+                          {_duck_hash16(
+                              "concat('dsir:', cast(doc_id AS varchar))")}
+                          + 0.5) / 65536.0)), 6), 4) AS dsir_key
+                      FROM w)
+            SELECT doc_id, dsir_logw, dsir_key FROM keyed
+            ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_tfidf_topk": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 5 = 0),
+            tok AS (SELECT doc_id,
+                      unnest(list_filter(regexp_split_to_array(
+                        lower(text), '\\s+'), x -> x != '')) AS term
+                    FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                         round(tf.tf * ln((n.n_docs + 1) /
+                           CAST(dfreq.df + 1 AS DOUBLE)), 4) AS tfidf
+                       FROM tf JOIN dfreq USING (term), n),
+            ranked AS (SELECT *, row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term ASC) AS rank
+                       FROM scored)
+            SELECT doc_id, term, tf, df, tfidf, rank
+            FROM ranked WHERE rank <= 3
         """,
         "q_paragraph_dedup": """
             WITH t AS (

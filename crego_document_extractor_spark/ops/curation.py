@@ -256,3 +256,104 @@ def duplicate_ngram_report(df: DataFrame, n: int = 8, min_docs: int = 2,
             .withColumn("dup_ratio", F.expr(
                 "CASE WHEN n_grams > 0 THEN n_dup_grams / "
                 "cast(n_grams AS double) ELSE 0.0d END")))
+
+
+def _word_ngrams_all(text_col: str, n: int) -> str:
+    """SQL: ALL (non-distinct) lowercase word n-grams of `text_col`,
+    in text order — occurrence counts matter when the grams estimate
+    a distribution (unlike `_word_ngrams`, whose distinct sets feed
+    overlap checks)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    return (f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END")
+
+
+def dsir_logratios(df: DataFrame, target_df: DataFrame,
+                   n_buckets: int = 64, n: int = 2,
+                   text_col: str = "text") -> list:
+    """Hashed-n-gram importance log-ratios — the model of DSIR
+    (Data Selection via Importance Resampling, Xie et al. 2023):
+    estimate a bag-of-hashed-n-grams distribution over `n_buckets`
+    buckets for the (small) TARGET corpus and the RAW corpus, and
+    return, per bucket, ``ln(p_target) - ln(p_raw)`` with add-0.5
+    smoothing, each rounded to 6 decimals (so the serving fold is
+    bit-reproducible by a DuckDB oracle).
+
+    Scale shape: each census is explode → 16-bit md5 bucket (pure
+    codegen arithmetic) → map-side-combined count per bucket — output
+    is `n_buckets` rows regardless of corpus size, collected to the
+    driver exactly like the IVF literal codebook
+    (ops/similarity.ivf_topk).  Two tiny jobs; nothing data-sized
+    crosses a shuffle except the bucket counts."""
+    import math
+    from .textstats import _tok_hash16
+    bucket = f"({_tok_hash16('gram')} % {n_buckets})"
+
+    def census(d: DataFrame) -> list:
+        rows = (d.select(F.explode(
+                    F.expr(_word_ngrams_all(text_col, n))).alias("gram"))
+                .groupBy(F.expr(bucket).alias("b"))
+                .count().collect())
+        counts = [0] * n_buckets
+        for r in rows:
+            counts[r["b"]] = r["count"]
+        return counts
+
+    t, r = census(target_df), census(df)
+    tot_t, tot_r = sum(t), sum(r)
+    return [round(math.log((tb + 0.5) / (tot_t + 0.5 * n_buckets))
+                  - math.log((rb + 0.5) / (tot_r + 0.5 * n_buckets)), 6)
+            for tb, rb in zip(t, r)]
+
+
+def with_dsir_weight(df: DataFrame, logratios: list, n: int = 2,
+                     text_col: str = "text") -> DataFrame:
+    """Serve the DSIR importance weight as a ZERO-SHUFFLE projection:
+    the log-ratio table rides into the plan as a literal array (it is
+    `n_buckets` doubles — broadcast-by-construction, no join), and the
+    per-document weight is a whole-stage-codegen `aggregate` fold over
+    the document's hashed n-grams, added in text order so Spark and
+    the DuckDB oracle see the identical float sequence.  Adds
+    ``dsir_logw`` (rounded to 4)."""
+    from .textstats import _tok_hash16
+    lr = "array(" + ", ".join(f"{float(v)!r}d" for v in logratios) + ")"
+    h = _tok_hash16("g")
+    return df.withColumn("dsir_logw", F.expr(
+        f"round(aggregate({_word_ngrams_all(text_col, n)}, "
+        f"cast(0.0 AS double), "
+        f"(acc, g) -> acc + element_at({lr}, ({h} % {len(logratios)}) + 1)"
+        f"), 4)"))
+
+
+def dsir_select(df: DataFrame, target_df: DataFrame, k: int,
+                n_buckets: int = 64, n: int = 2,
+                text_col: str = "text", id_col: str = "doc_id",
+                gumbel: bool = True) -> DataFrame:
+    """DSIR data selection end-to-end: census both corpora
+    (`dsir_logratios`), serve per-document importance log-weights
+    shuffle-free (`with_dsir_weight`), perturb with deterministic
+    Gumbel noise keyed on the document id (Gumbel-top-k ==
+    importance *sampling* without replacement, the paper's sampler —
+    `gumbel=False` degrades to hard top-k), and keep the `k` highest
+    keys.  The top-k is an orderBy+limit, which Spark executes as
+    TakeOrdered (per-partition heap + driver merge of k rows — no
+    global sort at any corpus size).
+
+    Noise is u = (md5_16('dsir:' || id) + 0.5) / 65536 →
+    g = -ln(-ln(u)): content-independent, engine-portable, identical
+    on every run/cluster-size — the same auditability property as
+    `stratified_sample`.  Returns (id, source-ish passthroughs kept
+    by caller via select) with dsir_logw + dsir_key."""
+    from .textstats import _tok_hash16
+    lrs = dsir_logratios(df, target_df, n_buckets, n, text_col)
+    scored = with_dsir_weight(df, lrs, n, text_col)
+    if gumbel:
+        hkey = _tok_hash16(f"concat('dsir:', cast({id_col} AS string))")
+        noise = f"round(-ln(-ln(({hkey} + 0.5d) / 65536.0d)), 6)"
+    else:
+        noise = "cast(0.0 AS double)"
+    scored = scored.withColumn(
+        "dsir_key", F.expr(f"round(dsir_logw + {noise}, 4)"))
+    return (scored.orderBy(F.desc("dsir_key"), F.asc(id_col)).limit(k))

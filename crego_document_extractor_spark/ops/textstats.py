@@ -11,6 +11,7 @@ scalar/higher-order expressions (no Python in the hot path).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
@@ -381,3 +382,44 @@ def with_perplexity(df: DataFrame, bi: DataFrame, stats: DataFrame,
     return (df.join(agg, "doc_id", "left")
             .withColumn("lm_n_scored",
                         F.expr("coalesce(lm_n_scored, 0)")))
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-`k` keywords by tf-idf — the classic
+    two-pass IR shape, written so every pass is map-side combined:
+
+    1. term frequency: explode tokens → groupBy(doc, term) count
+       (partial agg collapses each doc's repeats before the shuffle);
+    2. document frequency rides OFF THE SAME aggregate (a second
+       groupBy(term) over the (doc, term) rows — input is already
+       distinct per doc, so df is a plain count(*), map-side
+       combinable, no count-distinct expand);
+    3. idf = ln((N + 1) / (df + 1)) with N via a one-row broadcast
+       (BroadcastNestedLoopJoin over a single row — constant cost);
+    4. per-doc top-k by score via row_number, which Catalyst executes
+       with map-side + reduce-side WindowGroupLimit (≤ k rows per doc
+       per partition cross the last shuffle).
+
+    At 10^12 docs the term census is vocabulary-sized (≪ corpus);
+    the joins key on `term`, so a stop-word-hot term is absorbed by
+    the partial aggregates, never by a skewed join fan-out.  Scores
+    round to 4 decimals (portable float discipline, see
+    ops/curation.dsir_select)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    tf = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.expr(toks)).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.select(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .join(F.broadcast(n))
+              .withColumn("tfidf", F.expr(
+                  "round(tf * ln((n_docs + 1) / "
+                  "cast(df + 1 AS double)), 4)")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df", "tfidf", "rank"))

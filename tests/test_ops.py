@@ -984,3 +984,67 @@ def test_ngram_lm_perplexity_matches_python(spark):
     # trained stats are what the oracle used
     s = stats.collect()[0]
     assert s["vocab_size"] == vocab
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR (curation.dsir_select): docs sharing the target's
+    vocabulary must out-rank docs from a disjoint vocabulary, the
+    weights must be reproducible run-to-run (deterministic noise),
+    and gumbel=False must equal plain top-k by logw."""
+    from crego_document_extractor_spark.ops.curation import (
+        dsir_logratios, dsir_select, with_dsir_weight)
+    target = spark.createDataFrame(
+        [Row(doc_id=1000 + i,
+             text="alpha beta gamma delta alpha beta gamma delta")
+         for i in range(4)])
+    raw = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=("alpha beta gamma delta " * 4 if i % 2 == 0
+                   else "zeta eta theta iota " * 4).strip())
+         for i in range(20)])
+    picked = dsir_select(raw, target, k=10, n_buckets=32, n=2,
+                         gumbel=False)
+    ids = [r.doc_id for r in picked.collect()]
+    # hard top-10 of 20 docs, half target-like: exactly the evens
+    assert sorted(ids) == [i for i in range(20) if i % 2 == 0]
+    # weights separate the two populations
+    lrs = dsir_logratios(raw, target, n_buckets=32, n=2)
+    w = {r.doc_id: r.dsir_logw
+         for r in with_dsir_weight(raw, lrs, n=2).collect()}
+    assert min(w[i] for i in range(0, 20, 2)) > max(
+        w[i] for i in range(1, 20, 2))
+    # gumbel path: deterministic across runs
+    g1 = [(r.doc_id, r.dsir_key) for r in
+          dsir_select(raw, target, k=5, n_buckets=32, n=2).collect()]
+    g2 = [(r.doc_id, r.dsir_key) for r in
+          dsir_select(raw, target, k=5, n_buckets=32, n=2).collect()]
+    assert g1 == g2
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    """tf-idf (textstats.tfidf_topk): a corpus-wide stopword must
+    rank BELOW a distinctive term even at higher tf, ranks are dense
+    1..k per doc, and ties break lexicographically."""
+    from crego_document_extractor_spark.ops.textstats import tfidf_topk
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="the the the zebra the quark"),
+        Row(doc_id=1, text="the apple apple banana"),
+        Row(doc_id=2, text="the banana cherry"),
+        Row(doc_id=3, text="the date elder cherry"),
+    ])
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 1, 2, 3}
+    for rows in by_doc.values():
+        assert [r.rank for r in
+                sorted(rows, key=lambda r: r.rank)] == [1, 2]
+    # doc 0: 'the' has tf 4 but df 4 → idf ln(5/5)=0; the two
+    # singleton terms (df 1, idf ln(5/2)) must outrank it
+    d0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert [r.term for r in d0] == ["quark", "zebra"]  # tie → lex
+    assert all(r.tfidf > 0 for r in d0)
+    # doc 1: apple tf=2 beats banana tf=1 (same df? apple df=1,
+    # banana df=2 — apple wins on both axes)
+    assert sorted(by_doc[1], key=lambda r: r.rank)[0].term == "apple"
