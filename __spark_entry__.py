@@ -701,6 +701,36 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_curation_funnel(spark, sf):
+    """End-to-end curation funnel (ops/curation.curation_funnel):
+    lang gate → length gate → stopword gate → exact dedup among the
+    survivors → 8-gram decontamination vs the doc_id % 97 eval
+    slice, reported as per-stage (n_in, n_kept, n_dropped).  Both
+    the duplicate population (doc_id % 40, canned page) and the
+    contamination (doc_id % 50, benchmark phrase) are seeded
+    deterministically so every stage drops a predictable nonzero
+    count at any sf — the oracle replays the seeding, the
+    stage-relative dedup winner, the gram join, and the cumulative
+    funnel arithmetic."""
+    from crego_document_extractor_spark.ops.curation import (
+        curation_funnel)
+    d = _t(spark, sf, "documents")
+    seeded = d.withColumn("text", F.expr(
+        "CASE WHEN doc_id % 40 = 0 THEN 'shared duplicate "
+        "boilerplate page about the weather and the news' "
+        "WHEN doc_id % 50 = 0 THEN concat(text, ' benchmark "
+        "question alpha beta gamma delta epsilon zeta eta theta') "
+        "ELSE text END"))
+    evals = seeded.where("doc_id % 97 = 0").select("doc_id", "text")
+    corpus = seeded.where("doc_id % 97 != 0")
+    return curation_funnel(
+        corpus,
+        gates=[("lang_en", "lang = 'en'"),
+               ("min_length", "n_chars >= 100"),
+               ("has_stopword", "lower(text) LIKE '% the %'")],
+        dedup=True, eval_df=evals, contam_n=8)
+
+
 def _q_dsir_select(spark, sf):
     """DSIR importance resampling (ops/curation.dsir_select, Xie et
     al. 2023): target distribution = the English slice, raw pool =
@@ -1309,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_dsir_select": _q_dsir_select,
         "q_tfidf_topk": _q_tfidf_topk,
+        "q_curation_funnel": _q_curation_funnel,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2195,6 +2226,70 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_curation_funnel": """
+            WITH seeded AS (
+              SELECT doc_id, lang, n_chars,
+                     CASE WHEN doc_id % 40 = 0
+                          THEN 'shared duplicate boilerplate page '
+                               || 'about the weather and the news'
+                          WHEN doc_id % 50 = 0
+                          THEN text || ' benchmark question alpha beta '
+                               || 'gamma delta epsilon zeta eta theta'
+                          ELSE text END AS text
+              FROM documents),
+            corpus AS (SELECT * FROM seeded WHERE doc_id % 97 != 0),
+            ev AS (SELECT doc_id, text FROM seeded
+                   WHERE doc_id % 97 = 0),
+            g AS (SELECT *, (lang = 'en') AS g0,
+                         (n_chars >= 100) AS g1,
+                         (lower(text) LIKE '% the %') AS g2
+                  FROM corpus),
+            ded AS (SELECT *, min(CASE WHEN g0 AND g1 AND g2
+                                       THEN doc_id END)
+                      OVER (PARTITION BY md5(text)) AS mid
+                    FROM g),
+            d2 AS (SELECT *, (doc_id = mid) AS g3 FROM ded),
+            tokp AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                         '\\s+'), x -> x != '') AS toks
+                     FROM d2 WHERE g0 AND g1 AND g2 AND g3),
+            pg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 7, 0) + 1),
+                     i -> array_to_string(toks[i:i + 7], ' ')))) AS gram
+                   FROM tokp),
+            evtok AS (SELECT list_filter(regexp_split_to_array(
+                        lower(text), '\\s+'), x -> x != '') AS toks
+                      FROM ev),
+            evg AS (SELECT DISTINCT unnest(list_transform(
+                      range(1, greatest(len(toks) - 7, 0) + 1),
+                      i -> array_to_string(toks[i:i + 7], ' '))) AS gram
+                    FROM evtok),
+            contam AS (SELECT DISTINCT pg.doc_id
+                       FROM pg JOIN evg USING (gram)),
+            ffd AS (SELECT d2.doc_id,
+                      CASE WHEN NOT g0 THEN 0 WHEN NOT g1 THEN 1
+                           WHEN NOT g2 THEN 2 WHEN NOT g3 THEN 3
+                           WHEN contam.doc_id IS NOT NULL THEN 4
+                           ELSE 5 END AS ff
+                    FROM d2 LEFT JOIN contam USING (doc_id)),
+            cnt AS (SELECT ff, count(*) AS c FROM ffd GROUP BY 1),
+            tot AS (SELECT count(*) AS t FROM ffd),
+            stages(stage_idx, stage) AS (VALUES
+              (0, 'lang_en'), (1, 'min_length'), (2, 'has_stopword'),
+              (3, 'exact_dedup'), (4, 'decontaminate')),
+            f AS (SELECT s.stage_idx, s.stage,
+                    coalesce(c.c, 0) AS n_dropped
+                  FROM stages s LEFT JOIN cnt c ON c.ff = s.stage_idx),
+            funnel AS (SELECT stage_idx, stage,
+                         t - coalesce(sum(n_dropped) OVER (
+                           ORDER BY stage_idx ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS n_in,
+                         n_dropped
+                       FROM f, tot)
+            SELECT stage_idx, stage, n_in, n_in - n_dropped AS n_kept,
+                   n_dropped
+            FROM funnel ORDER BY stage_idx
         """,
         "q_tfidf_topk": """
             WITH d AS (SELECT doc_id, text FROM documents

@@ -357,3 +357,76 @@ def dsir_select(df: DataFrame, target_df: DataFrame, k: int,
     scored = scored.withColumn(
         "dsir_key", F.expr(f"round(dsir_logw + {noise}, 4)"))
     return (scored.orderBy(F.desc("dsir_key"), F.asc(id_col)).limit(k))
+
+
+def curation_funnel(df: DataFrame, gates: list, dedup: bool = True,
+                    eval_df: DataFrame = None, contam_n: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The curation FUNNEL — the per-stage retention report every
+    FineWeb/RefinedWeb-style pipeline publishes next to its dataset:
+    run the document pool through `gates` (ordered ``(name,
+    bool_sql_expr)`` filters), then optionally exact dedup
+    (keep-first by id among the docs that SURVIVED the gates — the
+    dedup population is stage-relative, exactly like a sequential
+    pipeline), then optionally n-gram decontamination against
+    `eval_df`, and report one row per stage: (stage_idx, stage,
+    n_in, n_kept, n_dropped).
+
+    Scale shape: every gate is a narrow projection fused into one
+    scan; the dedup winner is a min-over-window keyed on md5(text)
+    (one corpus shuffle, partial-agg absorbed); decontamination is
+    the broadcast gram join of `contamination_report`; the funnel
+    itself aggregates doc-count rows into ≤ len(gates)+2 rows, and
+    the final cumulative window runs over THAT stage-sized frame
+    (single partition of ~7 rows — not a data-sized sort)."""
+    import functools
+    stages = [n for n, _ in gates]
+    d = df
+    for i, (_, pred) in enumerate(gates):
+        d = d.withColumn(f"_g{i}", F.expr(f"({pred})"))
+    conds = [F.col(f"_g{i}") for i in range(len(gates))]
+    if dedup:
+        reach = functools.reduce(lambda a, b: a & b, conds)
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        d = d.withColumn(
+            "_mid", F.min(F.when(reach, F.col(id_col))).over(w))
+        d = d.withColumn(f"_g{len(conds)}",
+                         F.col(id_col) == F.col("_mid"))
+        conds.append(F.col(f"_g{len(conds)}"))
+        stages.append("exact_dedup")
+    if eval_df is not None:
+        reach = functools.reduce(lambda a, b: a & b, conds)
+        pool = d.where(reach).select(F.col(id_col).alias("doc_id"),
+                                     F.col(text_col).alias("text"))
+        bad = (contamination_report(pool, eval_df, contam_n)
+               .select(F.col("doc_id").alias(id_col),
+                       F.lit(True).alias("_contam")))
+        d = d.join(bad, id_col, "left")
+        d = d.withColumn(f"_g{len(conds)}",
+                         F.expr("NOT coalesce(_contam, false)"))
+        conds.append(F.col(f"_g{len(conds)}"))
+        stages.append("decontaminate")
+    ff = F.lit(len(conds))
+    for i in range(len(conds) - 1, -1, -1):
+        ff = F.when(~conds[i], F.lit(i)).otherwise(ff)
+    counts = (d.select(ff.alias("_ff"))
+              .groupBy("_ff").agg(F.count("*").alias("_c")))
+    spark = df.sparkSession
+    stage_rows = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stages)],
+        "stage_idx int, stage string")
+    wcum = (Window.orderBy("stage_idx")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    return (stage_rows
+            .join(counts, stage_rows.stage_idx == counts._ff, "left")
+            .join(F.broadcast(counts.agg(
+                F.sum("_c").alias("_total"))))
+            .withColumn("n_dropped",
+                        F.expr("cast(coalesce(_c, 0) AS bigint)"))
+            .withColumn("n_in", F.col("_total") - F.coalesce(
+                F.sum("n_dropped").over(wcum), F.lit(0)))
+            .withColumn("n_kept", F.col("n_in") - F.col("n_dropped"))
+            .select("stage_idx", "stage", "n_in", "n_kept",
+                    "n_dropped")
+            .orderBy("stage_idx"))

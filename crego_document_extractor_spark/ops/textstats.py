@@ -385,7 +385,8 @@ def with_perplexity(df: DataFrame, bi: DataFrame, stats: DataFrame,
 
 
 def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               cache_tf: bool = False) -> DataFrame:
     """Per-document top-`k` keywords by tf-idf — the classic
     two-pass IR shape, written so every pass is map-side combined:
 
@@ -403,14 +404,24 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
 
     At 10^12 docs the term census is vocabulary-sized (≪ corpus);
     the joins key on `term`, so a stop-word-hot term is absorbed by
-    the partial aggregates, never by a skewed join fan-out.  Scores
-    round to 4 decimals (portable float discipline, see
-    ops/curation.dsir_select)."""
+    the partial aggregates and, on the tf×df join, by AQE skew-join
+    splitting (the reason df comes from a JOIN and not a
+    count-over-window: a window partition on a hot term cannot be
+    split, a skewed join partition can).  Scores round to 4 decimals
+    (portable float discipline, see ops/curation.dsir_select).
+
+    `cache_tf=True` persists the (doc, term, tf) aggregate so the df
+    census reuses it instead of re-running the explode lineage —
+    the production lever when the corpus scan dominates (exchange
+    reuse across the two consumers is not guaranteed by the
+    optimizer; without caching the plan scans the corpus twice)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     tf = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(F.expr(toks)).alias("term"))
           .groupBy("doc_id", "term")
           .agg(F.count("*").alias("tf")))
+    if cache_tf:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.select(F.count("*").alias("n_docs"))
     scored = (tf.join(dfreq, "term")

@@ -1048,3 +1048,43 @@ def test_tfidf_topk_ranks_distinctive_terms(spark):
     # doc 1: apple tf=2 beats banana tf=1 (same df? apple df=1,
     # banana df=2 — apple wins on both axes)
     assert sorted(by_doc[1], key=lambda r: r.rank)[0].term == "apple"
+
+
+def test_curation_funnel_stagewise_counts(spark):
+    """curation_funnel: gates drop in order, the dedup population is
+    stage-relative (a duplicate whose twin FAILED an earlier gate is
+    NOT dropped), decontamination only scans survivors, and the
+    n_in/n_kept/n_dropped arithmetic telescopes."""
+    from crego_document_extractor_spark.ops.curation import (
+        curation_funnel)
+    rows = [
+        # 0: clean survivor
+        Row(doc_id=0, lang="en", text="the good document body here"),
+        # 1: fails lang gate
+        Row(doc_id=1, lang="de", text="der gute text hier"),
+        # 2+3: duplicates, both survive gates -> 3 dropped at dedup
+        Row(doc_id=2, lang="en", text="the duplicate page body"),
+        Row(doc_id=3, lang="en", text="the duplicate page body"),
+        # 4: duplicate of 1's text but lang en — its twin (1) failed
+        #    the lang gate, so 4 is the only copy in the dedup pool
+        Row(doc_id=4, lang="en", text="the der gute text hier"),
+        # 5: contaminated (shares the eval 4-gram)
+        Row(doc_id=5, lang="en",
+            text="the leaked eval question alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows)
+    evals = spark.createDataFrame(
+        [Row(doc_id=100, text="eval question alpha beta gamma")])
+    out = {r.stage: r for r in curation_funnel(
+        df, gates=[("lang_en", "lang = 'en'")],
+        dedup=True, eval_df=evals, contam_n=4).collect()}
+    assert out["lang_en"].n_in == 6
+    assert out["lang_en"].n_dropped == 1          # doc 1
+    assert out["exact_dedup"].n_in == 5
+    assert out["exact_dedup"].n_dropped == 1      # doc 3 (twin of 2)
+    assert out["decontaminate"].n_in == 4
+    assert out["decontaminate"].n_dropped == 1    # doc 5
+    assert out["decontaminate"].n_kept == 3       # docs 0, 2, 4
+    # telescoping invariant
+    for r in out.values():
+        assert r.n_kept == r.n_in - r.n_dropped
