@@ -701,6 +701,21 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_top_ngram_coverage(spark, sf):
+    """Gopher top-n-gram-coverage filter (ops/textstats.
+    with_top_ngram_coverage): per doc, the most frequent word bigram
+    (tie → lexicographically smallest) and the fraction of document
+    characters its occurrences cover.  Narrow shuffle-free
+    projection; the oracle replays the per-doc argmax relationally
+    with a window."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_top_ngram_coverage)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (with_top_ngram_coverage(d, n=2)
+            .select("doc_id", "top_gram", "top_gram_count",
+                    "top_gram_char_frac"))
+
+
 def _q_curation_funnel(spark, sf):
     """End-to-end curation funnel (ops/curation.curation_funnel):
     lang gate → length gate → stopword gate → exact dedup among the
@@ -1340,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_select": _q_dsir_select,
         "q_tfidf_topk": _q_tfidf_topk,
         "q_curation_funnel": _q_curation_funnel,
+        "q_top_ngram_coverage": _q_top_ngram_coverage,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2226,6 +2242,31 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_top_ngram_coverage": """
+            WITH tok AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '\\s+'), x -> x != '') AS toks
+              FROM documents),
+            g AS (SELECT doc_id,
+                    unnest(list_transform(
+                      range(1, greatest(len(toks) - 1, 0) + 1),
+                      i -> array_to_string(toks[i:i + 1], ' '))) AS gram
+                  FROM tok),
+            c AS (SELECT doc_id, gram, count(*) AS c
+                  FROM g GROUP BY 1, 2),
+            r AS (SELECT doc_id, gram, c, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY c DESC, gram ASC) AS rn
+                  FROM c)
+            SELECT d.doc_id, r.gram AS top_gram,
+                   coalesce(r.c, 0) AS top_gram_count,
+                   round(coalesce(r.c * length(r.gram), 0) /
+                     CAST(greatest(length(d.text), 1) AS DOUBLE), 4)
+                     AS top_gram_char_frac
+            FROM documents d
+            LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
         """,
         "q_curation_funnel": """
             WITH seeded AS (

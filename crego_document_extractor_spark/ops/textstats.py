@@ -434,3 +434,37 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "df", "tfidf", "rank"))
+
+
+def with_top_ngram_coverage(df: DataFrame, n: int = 2,
+                            text_col: str = "text") -> DataFrame:
+    """The remaining Gopher repetition filter (Rae et al. 2021,
+    "fraction of characters in the most frequent word n-gram"):
+    per document, find the most frequent word `n`-gram (tie → the
+    lexicographically smallest) and report how much of the document
+    its occurrences cover.  Adds ``top_gram`` (null when the doc has
+    < n tokens), ``top_gram_count``, and ``top_gram_char_frac``
+    (count × gram length / doc length, rounded to 4).
+
+    Doc-local higher-order functions only — a narrow projection with
+    NO shuffle, like `with_repetition_stats`; the O(distinct × total)
+    local count is bounded by per-document size, never corpus size."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    grams = (f"CASE WHEN size({toks}) >= {n} THEN "
+             f"transform(sequence(1, size({toks}) - {n - 1}), "
+             f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+             f"ELSE CAST(array() AS ARRAY<STRING>) END")
+    counted = (f"transform(array_distinct({grams}), g -> "
+               f"named_struct('g', g, 'c', "
+               f"size(filter({grams}, x -> x = g))))")
+    best = (f"try_element_at(array_sort({counted}, (l, r) -> "
+            f"CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
+            f"WHEN l.g < r.g THEN -1 ELSE 1 END), 1)")
+    return (df.withColumn("_tg", F.expr(best))
+            .withColumn("top_gram", F.expr("_tg.g"))
+            .withColumn("top_gram_count",
+                        F.expr("coalesce(_tg.c, 0)"))
+            .withColumn("top_gram_char_frac", F.expr(
+                f"round(coalesce(_tg.c * length(_tg.g), 0) / "
+                f"cast(greatest(length({text_col}), 1) AS double), 4)"))
+            .drop("_tg"))

@@ -1088,3 +1088,26 @@ def test_curation_funnel_stagewise_counts(spark):
     # telescoping invariant
     for r in out.values():
         assert r.n_kept == r.n_in - r.n_dropped
+
+
+def test_top_ngram_coverage_argmax_and_edges(spark):
+    """with_top_ngram_coverage: correct argmax + lex tie-break,
+    exact coverage arithmetic, and the <n-token edge yields null
+    gram / zero fraction."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_top_ngram_coverage)
+    df = spark.createDataFrame([
+        # 'b c' occurs twice, everything else once
+        Row(doc_id=0, text="a b c b c d"),
+        # all bigrams once -> lexicographically smallest wins
+        Row(doc_id=1, text="x y z"),
+        Row(doc_id=2, text="solo"),   # < 2 tokens
+    ])
+    out = {r.doc_id: r for r in with_top_ngram_coverage(df, n=2).collect()}
+    assert out[0].top_gram == "b c" and out[0].top_gram_count == 2
+    # 2 occurrences x 3 chars / 11 chars
+    assert out[0].top_gram_char_frac == round(6 / 11.0, 4)
+    assert out[1].top_gram == "x y" and out[1].top_gram_count == 1
+    assert out[2].top_gram is None
+    assert out[2].top_gram_count == 0
+    assert out[2].top_gram_char_frac == 0.0
