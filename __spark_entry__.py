@@ -701,6 +701,28 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_incremental_dedup(spark, sf):
+    """Incremental exact dedup (ops/dedup.incremental_exact): the
+    doc_id % 3 == 0 slice plays today's batch, the rest is the stored
+    history key index; survivors = batch docs whose sha2-256 content
+    is unseen in history AND first (min id) within the batch.  Seeded
+    cross-boundary duplicates (doc_id % 30 == 0 docs carry a canned
+    page also planted at % 30 == 10 in history) guarantee nonzero
+    drops from BOTH rules at any sf.  sha256 is engine-portable, so
+    this is a full value-level oracle."""
+    from crego_document_extractor_spark.ops.dedup import (
+        incremental_exact)
+    d = _t(spark, sf, "documents")
+    seeded = d.withColumn("text", F.expr(
+        "CASE WHEN doc_id % 30 IN (0, 10) THEN "
+        "'recurring syndicated article body' ELSE text END"))
+    batch = seeded.where("doc_id % 3 = 0").select("doc_id", "text")
+    history = (seeded.where("doc_id % 3 != 0")
+               .select(F.sha2("text", 256).alias("content_key")))
+    return (incremental_exact(batch, history)
+            .select("doc_id", "content_key").orderBy("doc_id"))
+
+
 def _q_top_ngram_coverage(spark, sf):
     """Gopher top-n-gram-coverage filter (ops/textstats.
     with_top_ngram_coverage): per doc, the most frequent word bigram
@@ -1356,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": _q_tfidf_topk,
         "q_curation_funnel": _q_curation_funnel,
         "q_top_ngram_coverage": _q_top_ngram_coverage,
+        "q_incremental_dedup": _q_incremental_dedup,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2242,6 +2265,26 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_incremental_dedup": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 30 IN (0, 10)
+                          THEN 'recurring syndicated article body'
+                          ELSE text END AS text
+              FROM documents),
+            batch AS (SELECT doc_id, text, sha256(text) AS content_key
+                      FROM seeded WHERE doc_id % 3 = 0),
+            hist AS (SELECT DISTINCT sha256(text) AS content_key
+                     FROM seeded WHERE doc_id % 3 != 0),
+            first AS (SELECT *, min(doc_id) OVER (
+                        PARTITION BY content_key) AS mid
+                      FROM batch)
+            SELECT doc_id, content_key
+            FROM first
+            WHERE doc_id = mid
+              AND content_key NOT IN (SELECT content_key FROM hist)
+            ORDER BY doc_id
         """,
         "q_top_ngram_coverage": """
             WITH tok AS (

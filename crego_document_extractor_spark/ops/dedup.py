@@ -14,6 +14,7 @@ ordinary shuffles:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def exact_duplicates(df: DataFrame) -> DataFrame:
@@ -70,6 +71,24 @@ def minhash_signature(df: DataFrame, n_hashes: int = 16,
         F.array(*[f"h{i}" for i in range(n_hashes)]).alias("signature"))
 
 
+def band_index(df: DataFrame, n_hashes: int = 16, bands: int = 4,
+               shingle_k: int = 3) -> DataFrame:
+    """(doc_id, band, band_hash) — the persistable LSH band index of
+    a corpus.  Band hashes come straight off the scalar min columns
+    (codegen; bucket EQUALITY is what matters, not the hash
+    formulation).  This is the artifact an incremental pipeline
+    stores: dedup of tomorrow's batch joins against it instead of
+    re-signing the whole corpus (`incremental_minhash_candidates`)."""
+    rows_per_band = n_hashes // bands
+    hs = _minhash_scalar(df, n_hashes, shingle_k)
+    band_hashes = F.array(*[
+        F.hash(*[F.col(f"h{b * rows_per_band + i}")
+                 for i in range(rows_per_band)])
+        for b in range(bands)])
+    return hs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
+
+
 def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 16,
                             bands: int = 4, shingle_k: int = 3,
                             max_bucket: int = 256) -> DataFrame:
@@ -79,16 +98,7 @@ def minhash_candidate_pairs(df: DataFrame, n_hashes: int = 16,
     ``max_bucket`` are dropped — an over-full bucket is
     non-discriminative (hot-key skew protection: a degenerate bucket
     would otherwise emit O(bucket²) pairs at corpus scale)."""
-    rows_per_band = n_hashes // bands
-    hs = _minhash_scalar(df, n_hashes, shingle_k)
-    # band hash straight from the scalar min columns (codegen) —
-    # bucket equality is what matters, not the hash formulation
-    band_hashes = F.array(*[
-        F.hash(*[F.col(f"h{b * rows_per_band + i}")
-                 for i in range(rows_per_band)])
-        for b in range(bands)])
-    banded = hs.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
+    banded = band_index(df, n_hashes, bands, shingle_k)
     buckets = (banded.groupBy("band", "band_hash")
                .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
                .where(f"size(ids) BETWEEN 2 AND {max_bucket}"))
@@ -474,3 +484,60 @@ def semantic_dedup(items: DataFrame, n_cells: int = 8,
              .select("d1", "d2"))
     clusters = duplicate_clusters(pairs)
     return keep_canonical(asg, clusters, quality_col, id_col=id_col)
+
+
+def incremental_exact(batch: DataFrame, history: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup — the shape a 10^12-doc pipeline
+    actually runs: dedup TODAY'S batch against the stored content-key
+    index of everything already ingested, never re-hashing the
+    corpus.  `history` is the key index (a `content_key` column of
+    sha2-256 hex; pass any prior output of this function, or build it
+    once with ``df.select(sha2(text, 256))``).  Returns the batch
+    rows that are (a) unseen in history and (b) first within the
+    batch (min id per key), WITH their `content_key` so the caller
+    appends exactly these keys to the index — the idempotent-resume
+    property: re-running the same batch yields the same survivors.
+
+    Scale shape: batch-internal keep-first is a min-over-window on
+    the key (shuffles the BATCH, not the corpus); the history probe
+    is a LEFT ANTI equi-join on the key — history is the big side of
+    a join it never has to materialize in memory (sort-merge /
+    AQE-broadcast of the *batch* when it is the small side)."""
+    keyed = batch.withColumn("content_key",
+                             F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_key")
+    first = (keyed.withColumn("_mid", F.min(id_col).over(w))
+             .where(F.col(id_col) == F.col("_mid")).drop("_mid"))
+    return first.join(
+        history.select("content_key").distinct(),
+        "content_key", "left_anti")
+
+
+def incremental_minhash_candidates(batch: DataFrame,
+                                   history_index: DataFrame,
+                                   n_hashes: int = 16, bands: int = 4,
+                                   shingle_k: int = 3,
+                                   max_bucket: int = 256) -> DataFrame:
+    """Incremental NEAR-dup screening: band today's batch
+    (`band_index` on the batch only) and equi-join against the stored
+    corpus band index — (batch_id, history_id) candidate pairs,
+    without re-signing a single historical document.  Feed the pairs
+    to `ngram_jaccard_pairs(candidates=...)` for exact verification,
+    exactly like the full-corpus path (q_dedup_minhash_e2e proves
+    that composition's recall; this function reuses the identical
+    signature/banding code via `band_index`).
+
+    Skew: a bucket whose HISTORY side exceeds `max_bucket` members is
+    non-discriminative and dropped — same hot-key guard as
+    `minhash_candidate_pairs`, applied to the stored index side."""
+    hist = (history_index.groupBy("band", "band_hash")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("hids"))
+            .where(f"size(hids) <= {max_bucket}"))
+    b = band_index(batch, n_hashes, bands, shingle_k)
+    return (b.join(hist, ["band", "band_hash"])
+            .select(F.col("doc_id").alias("batch_id"),
+                    F.explode("hids").alias("history_id"))
+            .where("batch_id != history_id")
+            .distinct())

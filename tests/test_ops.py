@@ -1111,3 +1111,41 @@ def test_top_ngram_coverage_argmax_and_edges(spark):
     assert out[2].top_gram is None
     assert out[2].top_gram_count == 0
     assert out[2].top_gram_char_frac == 0.0
+
+
+def test_incremental_dedup_exact_and_minhash(spark):
+    """Incremental dedup: exact survivors are batch-first AND
+    history-unseen (idempotent on re-run), and the minhash band
+    index finds a planted near-dup of a HISTORY doc in the batch
+    without re-signing history."""
+    from crego_document_extractor_spark.ops.dedup import (
+        band_index, incremental_exact, incremental_minhash_candidates)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    hist = spark.createDataFrame([
+        Row(doc_id="h0", text=base),
+        Row(doc_id="h1", text="completely different historical text "
+                              "about accounting ledgers and totals"),
+    ])
+    batch = spark.createDataFrame([
+        Row(doc_id="b0", text=base),                    # exact dup of h0
+        Row(doc_id="b1", text="fresh unseen document one"),
+        Row(doc_id="b2", text="fresh unseen document one"),  # batch dup
+        Row(doc_id="b3", text=base.replace("tonight", "today")),  # near h0
+    ])
+    hist_keys = hist.selectExpr("sha2(text, 256) AS content_key")
+    surv = incremental_exact(batch, hist_keys)
+    ids = sorted(r.doc_id for r in surv.collect())
+    assert ids == ["b1", "b3"]  # b0 seen in history, b2 loses to b1
+    # idempotent: appending survivors' keys then re-running the SAME
+    # batch yields nothing new
+    updated = hist_keys.union(surv.select("content_key"))
+    assert incremental_exact(batch, updated).count() == 0
+    # near-dup screening against the stored index
+    idx = band_index(hist, n_hashes=16, bands=8)
+    cands = incremental_minhash_candidates(
+        batch, idx, n_hashes=16, bands=8)
+    got = {(r.batch_id, r.history_id) for r in cands.collect()}
+    assert ("b3", "h0") in got or ("b0", "h0") in got
+    assert ("b3", "h0") in got  # one-word change must band-collide
+    assert not any(h == "h1" for _, h in got)
