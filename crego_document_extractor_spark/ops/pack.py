@@ -53,3 +53,40 @@ def shard_manifest(packed: DataFrame) -> DataFrame:
                  F.sum("n_tokens").alias("n_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          budget_tokens: int = 2048,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          range_size: int = 1000,
+                          fmt: str = "parquet") -> DataFrame:
+    """The last-mile SINK: materialize the corpus as deterministic
+    training shards on disk — one directory per (rng, shard) via
+    ``partitionBy``, so every run, engine, and cluster size produces
+    byte-stable shard MEMBERSHIP (the property that makes a training
+    run reproducible and a failed write resumable: re-running
+    overwrites the same partitions with the same rows).
+
+    Built on `pack_sequences`' value-based ranges — no global sort,
+    no sampling-dependent repartitionByRange; the only shuffle is the
+    per-range packing window.  Dynamic partition overwrite keeps a
+    re-run of a SUBSET of ranges from clobbering the rest (the same
+    idempotent-resume contract as cache.py).  Returns the manifest
+    (one row per written shard) for lineage recording."""
+    packed = pack_sequences(df, budget_tokens, id_col, text_col,
+                            range_size)
+    out = (df.select(F.col(id_col).alias("doc_id"), text_col)
+           .join(packed, "doc_id"))
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic")
+    try:
+        (out.write.mode("overwrite").format(fmt)
+         .partitionBy("rng", "shard").save(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       prev)
+    return shard_manifest(packed)

@@ -1149,3 +1149,34 @@ def test_incremental_dedup_exact_and_minhash(spark):
     assert ("b3", "h0") in got or ("b0", "h0") in got
     assert ("b3", "h0") in got  # one-word change must band-collide
     assert not any(h == "h1" for _, h in got)
+
+
+def test_write_training_shards_deterministic_and_resumable(spark, tmp_path):
+    """write_training_shards: on-disk layout is one directory per
+    (rng, shard), membership matches pack_sequences exactly, and a
+    re-run (same input) overwrites in place to the same bytes —
+    the idempotent-resume contract."""
+    import os
+    from crego_document_extractor_spark.ops.pack import (
+        pack_sequences, write_training_shards)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * (10 + i % 7)))
+         for i in range(40)])
+    path = str(tmp_path / "shards")
+    man1 = {(r.rng, r.shard): (r.n_docs, r.n_tokens) for r in
+            write_training_shards(df, path, budget_tokens=64,
+                                  range_size=16).collect()}
+    back = spark.read.parquet(path)
+    expect = pack_sequences(df, budget_tokens=64, range_size=16)
+    got = {(r.rng, r.shard, r.doc_id) for r in back.collect()}
+    want = {(r.rng, r.shard, r.doc_id) for r in expect.collect()}
+    assert got == want and len(man1) > 1
+    # physical layout: hive-style partition dirs
+    assert any(d.startswith("rng=") for d in os.listdir(path))
+    # idempotent re-run: same manifest, same row set
+    man2 = {(r.rng, r.shard): (r.n_docs, r.n_tokens) for r in
+            write_training_shards(df, path, budget_tokens=64,
+                                  range_size=16).collect()}
+    assert man1 == man2
+    assert {(r.rng, r.shard, r.doc_id)
+            for r in spark.read.parquet(path).collect()} == want
