@@ -701,6 +701,29 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+#: decomposed accents (e+U+0301, e+U+0308), a zero-width space, and
+#: whitespace runs — what NFC + strip + collapse must fix; shared
+#: verbatim by the Spark seed and the DuckDB oracle
+_NORM_SEED = "cafe\u0301 \u200b  naive\u0308  "
+
+
+def _q_normalize_text(spark, sf):
+    """Unicode canonicalization (ops/curation.with_normalized_text):
+    doc_id % 9 == 0 docs are seeded with a decomposed accent (e +
+    U+0301), zero-width chars, and a whitespace run; the op NFC-
+    composes, strips, and collapses.  Compared by md5 + length so the
+    payload stays small; the oracle replays with nfc_normalize."""
+    from crego_document_extractor_spark.ops.curation import (
+        with_normalized_text)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.withColumn("text", F.expr(
+        f"CASE WHEN doc_id % 9 = 0 THEN concat('{_NORM_SEED}', text) "
+        f"ELSE text END"))
+    return (with_normalized_text(seeded)
+            .select("doc_id", F.md5("norm_text").alias("norm_md5"),
+                    F.length("norm_text").alias("norm_len")))
+
+
 def _q_incremental_dedup(spark, sf):
     """Incremental exact dedup (ops/dedup.incremental_exact): the
     doc_id % 3 == 0 slice plays today's batch, the rest is the stored
@@ -1379,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_funnel": _q_curation_funnel,
         "q_top_ngram_coverage": _q_top_ngram_coverage,
         "q_incremental_dedup": _q_incremental_dedup,
+        "q_normalize_text": _q_normalize_text,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2265,6 +2289,24 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_normalize_text": f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN '{_NORM_SEED}' || text
+                          ELSE text END AS text
+              FROM documents),
+            n AS (SELECT doc_id,
+                    trim(regexp_replace(regexp_replace(
+                      nfc_normalize(text),
+                      '[{chr(0x200B)}{chr(0x200C)}{chr(0x200D)}{chr(0xFEFF)}]',
+                      '', 'g'),
+                      '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm_text
+                  FROM seeded)
+            SELECT doc_id, md5(norm_text) AS norm_md5,
+                   length(norm_text) AS norm_len
+            FROM n
         """,
         "q_incremental_dedup": """
             WITH seeded AS (

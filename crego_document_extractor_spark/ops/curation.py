@@ -430,3 +430,36 @@ def curation_funnel(df: DataFrame, gates: list, dedup: bool = True,
             .select("stage_idx", "stage", "n_in", "n_kept",
                     "n_dropped")
             .orderBy("stage_idx"))
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text",
+                         form: str = "NFC",
+                         collapse_ws: bool = True) -> DataFrame:
+    """Unicode canonicalization — the standard first step of web-text
+    curation (mojibake triage's constructive sibling): NFC/NFKC
+    normalize, strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM), and
+    collapse whitespace runs.  Adds ``norm_text``.
+
+    Spark has no Unicode-normalization builtin, so the NFC step is a
+    VECTORIZED pandas_udf (`Series.str.normalize` — Arrow-batched,
+    one call per batch, not per row; the justified-Python-path
+    exception, same class as the parse stage).  The zero-width strip
+    and whitespace collapse stay JVM-side with an explicit ASCII
+    class ([ \\t\\n\\r\\f], identical semantics in Java regex and
+    RE2) so a DuckDB oracle (nfc_normalize + regexp_replace)
+    reproduces the output byte-for-byte.  Narrow projection — no
+    shuffle at any corpus size."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    out = df.withColumn("norm_text", _norm(F.col(text_col)))
+    if collapse_ws:
+        # four backslashes: Python → SQL-literal → Java-regex escape
+        out = out.withColumn("norm_text", F.expr(
+            "trim(regexp_replace(regexp_replace(norm_text, "
+            "'[\\\\u200b\\\\u200c\\\\u200d\\\\ufeff]', ''), "
+            "'[ \\\\t\\\\n\\\\r\\\\f]+', ' '))"))
+    return out

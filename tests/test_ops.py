@@ -1180,3 +1180,23 @@ def test_write_training_shards_deterministic_and_resumable(spark, tmp_path):
     assert man1 == man2
     assert {(r.rng, r.shard, r.doc_id)
             for r in spark.read.parquet(path).collect()} == want
+
+
+def test_normalized_text_nfc_zwsp_whitespace(spark):
+    """with_normalized_text: decomposed accents compose (NFC),
+    zero-width chars vanish, whitespace runs collapse, and clean
+    ASCII passes through untouched."""
+    from crego_document_extractor_spark.ops.curation import (
+        with_normalized_text)
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="cafe\u0301 and nai\u0308ve twice"),
+        Row(doc_id=1, text="zero\u200bwidth\ufeffgone"),
+        Row(doc_id=2, text="  runs \t of\n\n whitespace  "),
+        Row(doc_id=3, text="plain ascii stays"),
+    ])
+    out = {r.doc_id: r.norm_text
+           for r in with_normalized_text(df).collect()}
+    assert out[0] == "caf\u00e9 and na\u00efve twice"
+    assert out[1] == "zerowidthgone"
+    assert out[2] == "runs of whitespace"
+    assert out[3] == "plain ascii stays"
