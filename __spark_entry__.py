@@ -701,6 +701,18 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_length_quantiles(spark, sf):
+    """Per-source length-distribution profile (ops/textstats.
+    length_quantiles, exact mode): interpolated P50/P90/P99 of
+    n_chars per source — the packing/truncation tuning view.  The
+    oracle replays with DuckDB quantile_cont (same linear
+    interpolation, round-4)."""
+    from crego_document_extractor_spark.ops.textstats import (
+        length_quantiles)
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+    return length_quantiles(d, by="source", value_col="n_chars")
+
+
 #: decomposed accents (e+U+0301, e+U+0308), a zero-width space, and
 #: whitespace runs — what NFC + strip + collapse must fix; shared
 #: verbatim by the Spark seed and the DuckDB oracle
@@ -1403,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_ngram_coverage": _q_top_ngram_coverage,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_normalize_text": _q_normalize_text,
+        "q_length_quantiles": _q_length_quantiles,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2289,6 +2302,16 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_length_quantiles": """
+            SELECT source, count(*) AS n,
+                   round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE),
+                         4) AS p50,
+                   round(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE),
+                         4) AS p90,
+                   round(CAST(quantile_cont(n_chars, 0.99) AS DOUBLE),
+                         4) AS p99
+            FROM documents GROUP BY source
         """,
         "q_normalize_text": f"""
             WITH seeded AS (

@@ -468,3 +468,32 @@ def with_top_ngram_coverage(df: DataFrame, n: int = 2,
                 f"round(coalesce(_tg.c * length(_tg.g), 0) / "
                 f"cast(greatest(length({text_col}), 1) AS double), 4)"))
             .drop("_tg"))
+
+
+def length_quantiles(df: DataFrame, by: str = "source",
+                     value_col: str = "n_chars",
+                     qs: tuple = (0.5, 0.9, 0.99),
+                     approx: bool = False) -> DataFrame:
+    """Per-group length distribution — the other half of the corpus
+    dashboard (`corpus_scorecard` has the means; length SHAPE is what
+    packing budgets and truncation policies are tuned against):
+    exact interpolated percentiles of `value_col` per `by` group.
+
+    ``approx=False`` (default) uses Spark's exact ``percentile`` —
+    memory is proportional to the largest group, fine up to ~10^8
+    rows per group and exactly reproducible by a DuckDB
+    ``quantile_cont`` oracle.  ``approx=True`` switches to
+    ``approx_percentile(..., 10000)`` (t-digest-style sketch,
+    constant memory) — the 10^12-row production path; its results
+    are engine-specific, so the driver oracle pins the exact form
+    and the approx form is property-tested (within-range, ordered).
+    All values round to 4 (portable float discipline)."""
+    fn = "approx_percentile" if approx else "percentile"
+    extra = ", 10000" if approx else ""
+    aggs = [F.count("*").alias("n")]
+    for q in qs:
+        name = f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        aggs.append(F.expr(
+            f"round(cast({fn}({value_col}, {q}{extra}) AS double), 4)")
+            .alias(name))
+    return df.groupBy(by).agg(*aggs)

@@ -1200,3 +1200,27 @@ def test_normalized_text_nfc_zwsp_whitespace(spark):
     assert out[1] == "zerowidthgone"
     assert out[2] == "runs of whitespace"
     assert out[3] == "plain ascii stays"
+
+
+def test_length_quantiles_exact_and_approx(spark):
+    """length_quantiles: exact mode matches numpy's linear
+    interpolation; approx mode is within the value range and
+    monotone across quantiles."""
+    import numpy as np
+    from crego_document_extractor_spark.ops.textstats import (
+        length_quantiles)
+    vals = [3, 7, 11, 19, 23, 41, 59, 101]
+    df = spark.createDataFrame(
+        [Row(source="a", n_chars=v) for v in vals] +
+        [Row(source="b", n_chars=v * 2) for v in vals])
+    out = {r.source: r for r in length_quantiles(df).collect()}
+    for src, mult in (("a", 1), ("b", 2)):
+        arr = np.array(vals) * mult
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert out[src][col] == round(
+                float(np.quantile(arr, q)), 4), (src, col)
+    ap = {r.source: r for r in
+          length_quantiles(df, approx=True).collect()}
+    for src, mult in (("a", 1), ("b", 2)):
+        r = ap[src]
+        assert min(vals) * mult <= r.p50 <= r.p90 <= r.p99 <= 101 * mult
