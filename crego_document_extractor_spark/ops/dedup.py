@@ -541,3 +541,28 @@ def incremental_minhash_candidates(batch: DataFrame,
                     F.explode("hids").alias("history_id"))
             .where("batch_id != history_id")
             .distinct())
+
+
+def minhash_jaccard_estimate(pairs: DataFrame,
+                             signatures: DataFrame) -> DataFrame:
+    """Jaccard ESTIMATE from MinHash signatures — the cheap middle
+    rung of the dedup ladder (bands → estimate → exact verify): for
+    each candidate pair, the fraction of matching signature
+    positions, an unbiased estimator of the true shingle Jaccard
+    with s.e. ~ 1/sqrt(n_hashes).  Use it to triage band candidates
+    BEFORE the token-level `ngram_jaccard_pairs` verify — at corpus
+    scale the signatures (n ints/doc) are orders cheaper to join
+    than re-tokenizing documents.
+
+    Scale shape: two equi-joins of the pair list against the
+    signature table (pair-count-sized, AQE-broadcast when small) and
+    a zip_with codegen fold — no corpus access at all."""
+    s1 = signatures.select(F.col("doc_id").alias("d1"),
+                           F.col("signature").alias("_s1"))
+    s2 = signatures.select(F.col("doc_id").alias("d2"),
+                           F.col("signature").alias("_s2"))
+    return (pairs.join(s1, "d1").join(s2, "d2")
+            .withColumn("est_jaccard", F.expr(
+                "round(size(filter(zip_with(_s1, _s2, (a, b) -> a = b), "
+                "x -> x)) / cast(size(_s1) AS double), 4)"))
+            .drop("_s1", "_s2"))

@@ -1224,3 +1224,26 @@ def test_length_quantiles_exact_and_approx(spark):
     for src, mult in (("a", 1), ("b", 2)):
         r = ap[src]
         assert min(vals) * mult <= r.p50 <= r.p90 <= r.p99 <= 101 * mult
+
+
+def test_minhash_jaccard_estimate_tracks_truth(spark):
+    """minhash_jaccard_estimate: identical docs estimate 1.0,
+    disjoint docs 0.0, and a planted near-dup lands closer to its
+    true Jaccard than to either extreme (n_hashes=64)."""
+    from crego_document_extractor_spark.ops.dedup import (
+        minhash_signature, minhash_jaccard_estimate)
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " aaa bbb"
+    rows = [Row(doc_id="a", text=base), Row(doc_id="b", text=base),
+            Row(doc_id="c", text=near),
+            Row(doc_id="d", text=" ".join(f"zzz{i}" for i in range(40)))]
+    sigs = minhash_signature(spark.createDataFrame(rows), n_hashes=64)
+    pairs = spark.createDataFrame(
+        [Row(d1="a", d2="b"), Row(d1="a", d2="c"), Row(d1="a", d2="d")])
+    est = {(r.d1, r.d2): r.est_jaccard
+           for r in minhash_jaccard_estimate(pairs, sigs).collect()}
+    assert est[("a", "b")] == 1.0
+    assert est[("a", "d")] == 0.0
+    # true shingle (k=3) Jaccard of a vs c is ~0.83; allow sampling
+    # noise of the 64-hash estimator
+    assert 0.55 <= est[("a", "c")] <= 1.0
