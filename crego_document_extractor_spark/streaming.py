@@ -168,3 +168,58 @@ def stream_dedup(spark: SparkSession, input_dir: str, output_dir: str,
             .option("path", f"{output_dir}/unique")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def stream_ingest_dedup(spark: SparkSession, input_dir: str,
+                        output_dir: str, checkpoint_dir: str,
+                        index_dir: str, available_now: bool = True):
+    """Streaming INGEST against the persisted content-key index — the
+    composition a production crawl runs: each micro-batch of raw
+    documents is deduplicated with :func:`ops.dedup.incremental_exact`
+    against the SAME parquet key index the batch pipeline maintains
+    (one index, shared by batch backfills and the live stream),
+    survivors append to the corpus sink and their keys append to the
+    index.
+
+    Differs from :func:`stream_dedup` (checkpointed in-operator
+    state): here the seen-set is an EXTERNAL, queryable table that
+    batch jobs co-own, survives checkpoint deletion, and can be
+    rebuilt offline.  Failure semantics: Spark replays an unfinished
+    micro-batch, so the index append is at-least-once — harmless,
+    because the index is consumed as a SET by an anti-join (duplicate
+    keys change nothing) and the batch's own survivors are recomputed
+    identically (incremental_exact is deterministic).  The corpus
+    append is then deduplicated by the replayed anti-join against the
+    keys the failed attempt already flushed — each content key lands
+    in the corpus at most once."""
+    from pyspark.sql.utils import AnalysisException
+    from .ops.dedup import incremental_exact
+
+    def process(batch_df, batch_id: int) -> None:
+        try:
+            history = spark.read.schema(
+                "content_key string").parquet(index_dir)
+        except AnalysisException:
+            history = spark.createDataFrame([], "content_key string")
+        # localCheckpoint (eager) MATERIALIZES the survivors and cuts
+        # the lineage before the index append: the anti-join reads the
+        # index lazily, so a later re-execution would anti-join the
+        # survivors against their own freshly-appended keys
+        # (self-reference → empty) — persist() alone is not reliable
+        # across foreachBatch write actions
+        surv = incremental_exact(batch_df, history).localCheckpoint()
+        (surv.select("content_key")
+         .write.mode("append").parquet(index_dir))
+        (surv.drop("content_key")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{output_dir}/docs"))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -175,3 +175,45 @@ def test_stream_dedup_bloom_odd_sketch_bits(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "out" / "unique"))
     assert 1 <= got.count() <= 10
+
+
+def test_stream_ingest_dedup_shared_index(spark, tmp_path):
+    """stream_ingest_dedup: micro-batches dedup against the PERSISTED
+    parquet key index; the index is shared with the batch path (a
+    pre-seeded history key suppresses the matching stream doc), and a
+    second stream run over new files keeps suppressing everything
+    already ingested."""
+    import pandas as pd
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    idx = str(tmp_path / "index")
+    os.makedirs(in_dir)
+
+    # batch path seeds the index with one known content
+    from pyspark.sql import functions as F
+    seed = spark.createDataFrame([(999, "preexisting corpus doc")],
+                                 "doc_id long, text string")
+    (seed.select(F.sha2("text", 256).alias("content_key"))
+     .write.parquet(idx))
+
+    pd.DataFrame({"doc_id": [1, 2, 3],
+                  "text": ["preexisting corpus doc",   # vs index
+                           "fresh one", "fresh one"]   # batch dup
+                  }).to_parquet(f"{in_dir}/b1.parquet")
+    q = streaming.stream_ingest_dedup(spark, in_dir, out_dir, ckpt, idx)
+    q.awaitTermination(120)
+    docs1 = spark.read.parquet(f"{out_dir}/docs")
+    assert sorted(r.doc_id for r in docs1.collect()) == [2]
+
+    # second run: dup of a streamed doc + one new
+    pd.DataFrame({"doc_id": [4, 5],
+                  "text": ["fresh one", "brand new"]}
+                 ).to_parquet(f"{in_dir}/b2.parquet")
+    q2 = streaming.stream_ingest_dedup(spark, in_dir, out_dir, ckpt, idx)
+    q2.awaitTermination(120)
+    docs2 = spark.read.parquet(f"{out_dir}/docs")
+    assert sorted(r.doc_id for r in docs2.collect()) == [2, 5]
+    # index now holds exactly the distinct ingested contents
+    keys = spark.read.parquet(idx)
+    assert keys.distinct().count() == 3  # seed + 'fresh one' + 'brand new'
