@@ -701,6 +701,17 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_readability(spark, sf):
+    """Flesch reading-ease (ops/textstats.with_readability): sentence
+    census, vowel-group syllable heuristic, and the classic formula —
+    a pure scalar projection, replayed exactly in DuckDB."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_readability)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (with_readability(d)
+            .select("doc_id", "n_sentences", "n_syllables", "flesch"))
+
+
 def _q_length_quantiles(spark, sf):
     """Per-source length-distribution profile (ops/textstats.
     length_quantiles, exact mode): interpolated P50/P90/P99 of
@@ -1416,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": _q_incremental_dedup,
         "q_normalize_text": _q_normalize_text,
         "q_length_quantiles": _q_length_quantiles,
+        "q_readability": _q_readability,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2302,6 +2314,25 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_readability": """
+            WITH s AS (
+              SELECT doc_id,
+                     greatest(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x) != '')), 1) AS n_sentences,
+                     len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')) AS n_syllables,
+                     greatest(len(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x != '')), 1) AS words
+              FROM documents)
+            SELECT doc_id, n_sentences, n_syllables,
+                   round(206.835 - 1.015 * (words /
+                     CAST(n_sentences AS DOUBLE)) - 84.6 *
+                     (n_syllables / CAST(words AS DOUBLE)), 4)
+                     AS flesch
+            FROM s
         """,
         "q_length_quantiles": """
             SELECT source, count(*) AS n,

@@ -497,3 +497,25 @@ def length_quantiles(df: DataFrame, by: str = "source",
             f"round(cast({fn}({value_col}, {q}{extra}) AS double), 4)")
             .alias(name))
     return df.groupBy(by).agg(*aggs)
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease — the classic readability feature of
+    quality-filter stacks (alongside the Gopher ratios): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), with sentences =
+    non-blank [.!?]-delimited segments and syllables = vowel-group
+    count ([aeiouy]+) — the standard dictionary-free heuristic, chosen
+    because it means the same thing in Java regex and RE2 (DuckDB-
+    oracle-portable).  Adds ``n_sentences``, ``n_syllables``, and
+    ``flesch`` (round 4).  Pure scalar projection — no shuffle."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
+    sents = (f"greatest(size(filter(split({text_col}, '[.!?]+'), "
+             f"s -> trim(s) != '')), 1)")
+    syls = f"size(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0))"
+    words = f"greatest(size({toks}), 1)"
+    return (df.withColumn("n_sentences", F.expr(sents))
+            .withColumn("n_syllables", F.expr(syls))
+            .withColumn("flesch", F.expr(
+                f"round(206.835d - 1.015d * ({words} / cast({sents} AS "
+                f"double)) - 84.6d * ({syls} / cast({words} AS double)), "
+                f"4)")))

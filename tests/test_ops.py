@@ -1247,3 +1247,24 @@ def test_minhash_jaccard_estimate_tracks_truth(spark):
     # true shingle (k=3) Jaccard of a vs c is ~0.83; allow sampling
     # noise of the 64-hash estimator
     assert 0.55 <= est[("a", "c")] <= 1.0
+
+
+def test_readability_flesch_formula(spark):
+    """with_readability: sentence/syllable censuses and the Flesch
+    formula agree with a hand computation; the guards keep empty-ish
+    text finite."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_readability)
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="The cat sat. The dog ran!"),
+        Row(doc_id=1, text=""),
+    ])
+    out = {r.doc_id: r for r in with_readability(df).collect()}
+    r = out[0]
+    assert r.n_sentences == 2
+    # syllable groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert r.n_syllables == 6
+    w = 6
+    expect = round(206.835 - 1.015 * (w / 2.0) - 84.6 * (6 / float(w)), 4)
+    assert r.flesch == expect
+    assert out[1].n_sentences == 1 and out[1].flesch is not None
