@@ -701,6 +701,35 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_corpus_diff(spark, sf):
+    """Dataset-version diff (ops/curation.corpus_diff): the 'new'
+    snapshot drops doc_id % 41 == 0, edits % 17 == 0, and adds ids
+    above the max — per-id added/removed/changed/unchanged statuses,
+    aggregated to the release-note view."""
+    from crego_document_extractor_spark.ops.curation import corpus_diff
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    new = (d.where("doc_id % 41 != 0")
+           .withColumn("text", F.expr(
+               "CASE WHEN doc_id % 17 = 0 THEN concat(text, ' v2') "
+               "ELSE text END"))
+           .unionByName(d.where("doc_id % 97 = 0").selectExpr(
+               "doc_id + 1000000 AS doc_id", "text")))
+    return (corpus_diff(d, new)
+            .groupBy("status").agg(F.count("*").alias("n_docs")))
+
+
+def _q_split_corpus(spark, sf):
+    """Deterministic train/val/test split (ops/curation.split_corpus):
+    md5-keyed assignment, returned as per-split counts plus the min
+    doc_id per split (membership witness the oracle recomputes)."""
+    from crego_document_extractor_spark.ops.curation import split_corpus
+    d = _t(spark, sf, "documents").select("doc_id")
+    return (split_corpus(d, val_frac=0.05, test_frac=0.1)
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
+
 def _q_readability(spark, sf):
     """Flesch reading-ease (ops/textstats.with_readability): sentence
     census, vowel-group syllable heuristic, and the classic formula —
@@ -1428,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_text": _q_normalize_text,
         "q_length_quantiles": _q_length_quantiles,
         "q_readability": _q_readability,
+        "q_corpus_diff": _q_corpus_diff,
+        "q_split_corpus": _q_split_corpus,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
         "q_bpe_pair_census": _q_bpe_pair_census,
@@ -2314,6 +2345,39 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_corpus_diff": """
+            WITH o AS (SELECT doc_id, md5(text) AS ok FROM documents),
+            n AS (SELECT doc_id,
+                         md5(CASE WHEN doc_id % 17 = 0
+                                  THEN text || ' v2' ELSE text END)
+                           AS nk
+                  FROM documents WHERE doc_id % 41 != 0
+                  UNION ALL
+                  SELECT doc_id + 1000000, md5(text) FROM documents
+                  WHERE doc_id % 97 = 0),
+            d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                         CASE WHEN o.doc_id IS NULL THEN 'added'
+                              WHEN n.doc_id IS NULL THEN 'removed'
+                              WHEN ok = nk THEN 'unchanged'
+                              ELSE 'changed' END AS status
+                  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+            SELECT status, count(*) AS n_docs FROM d GROUP BY status
+        """,
+        "q_split_corpus": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN {_duck_hash16(
+                         "concat('split:', cast(doc_id AS varchar))")}
+                            < {int(65536 * 0.05)} THEN 'val'
+                          WHEN {_duck_hash16(
+                         "concat('split:', cast(doc_id AS varchar))")}
+                            < {int(65536 * 0.05) + int(65536 * 0.1)}
+                            THEN 'test'
+                          ELSE 'train' END AS split
+              FROM documents)
+            SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
+            FROM s GROUP BY split
         """,
         "q_readability": """
             WITH s AS (

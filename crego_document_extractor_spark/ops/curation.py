@@ -463,3 +463,52 @@ def with_normalized_text(df: DataFrame, text_col: str = "text",
             "'[\\\\u200b\\\\u200c\\\\u200d\\\\ufeff]', ''), "
             "'[ \\\\t\\\\n\\\\r\\\\f]+', ' '))"))
     return out
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Dataset-version diff — the audit view between two corpus
+    snapshots: per document id, whether it was ``added``, ``removed``,
+    ``changed`` (same id, different content), or ``unchanged``.
+    Returns (doc_id, status); aggregate downstream for the release
+    note, or filter status != 'unchanged' for the incremental
+    re-process list (only changed/added docs need re-extraction — the
+    same resume economics as cache.py's anti-join, across dataset
+    versions instead of runs).
+
+    Scale shape: one full-outer equi-join on the id with both sides
+    reduced to (id, content_key) projections first — the md5 collapses
+    the payload BEFORE the shuffle, so the join moves 2×(id + 32 B)
+    per doc, never document bytes."""
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col)).alias("_ok"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   F.md5(F.col(text_col)).alias("_nk"))
+    return (o.join(n, "doc_id", "full_outer")
+            .select("doc_id", F.expr(
+                "CASE WHEN _ok IS NULL THEN 'added' "
+                "WHEN _nk IS NULL THEN 'removed' "
+                "WHEN _ok = _nk THEN 'unchanged' "
+                "ELSE 'changed' END").alias("status")))
+
+
+def split_corpus(df: DataFrame, val_frac: float = 0.01,
+                 test_frac: float = 0.01, salt: str = "split",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment — content-independent
+    (keyed on md5(salt || id), same first-16-bit arithmetic as
+    `epoch_shard`), so every run, engine, and cluster size assigns
+    every document to the SAME split, and changing `salt` re-rolls
+    the assignment without touching the data.  Adds ``split``
+    ('train'/'val'/'test').  Narrow projection — no shuffle, no
+    sampling variance: the realized fractions converge to the
+    requested ones by the uniformity of md5, and membership is
+    auditable (recompute the hash, get the split)."""
+    from .textstats import _tok_hash16
+    h = _tok_hash16(f"concat('{salt}:', cast({id_col} AS string))")
+    v = int(65536 * val_frac)
+    t = int(65536 * test_frac)
+    return df.withColumn("split", F.expr(
+        f"CASE WHEN {h} < {v} THEN 'val' "
+        f"WHEN {h} < {v + t} THEN 'test' ELSE 'train' END"))

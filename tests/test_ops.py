@@ -1268,3 +1268,34 @@ def test_readability_flesch_formula(spark):
     expect = round(206.835 - 1.015 * (w / 2.0) - 84.6 * (6 / float(w)), 4)
     assert r.flesch == expect
     assert out[1].n_sentences == 1 and out[1].flesch is not None
+
+
+def test_corpus_diff_and_split(spark):
+    """corpus_diff: per-id statuses across two snapshots;
+    split_corpus: deterministic, salt-sensitive, exhaustive."""
+    from crego_document_extractor_spark.ops.curation import (
+        corpus_diff, split_corpus)
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(4)])
+    new = spark.createDataFrame(
+        [Row(doc_id=0, text="doc 0"),          # unchanged
+         Row(doc_id=1, text="doc 1 edited"),   # changed
+         # 2 removed
+         Row(doc_id=3, text="doc 3"),
+         Row(doc_id=9, text="brand new")])     # added
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed",
+                   3: "unchanged", 9: "added"}
+    df = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(500)])
+    s1 = {r.doc_id: r.split
+          for r in split_corpus(df, 0.1, 0.1).collect()}
+    s2 = {r.doc_id: r.split
+          for r in split_corpus(df, 0.1, 0.1).collect()}
+    assert s1 == s2                       # deterministic
+    assert set(s1.values()) == {"train", "val", "test"}
+    n_val = sum(1 for v in s1.values() if v == "val")
+    assert 20 <= n_val <= 80              # ~50 expected at 10%
+    s3 = {r.doc_id: r.split
+          for r in split_corpus(df, 0.1, 0.1, salt="other").collect()}
+    assert s3 != s1                       # salt re-rolls
