@@ -361,8 +361,8 @@ def dsir_select(df: DataFrame, target_df: DataFrame, k: int,
 
 def curation_funnel(df: DataFrame, gates: list, dedup: bool = True,
                     eval_df: DataFrame = None, contam_n: int = 8,
-                    text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    text_col: str = "text", id_col: str = "doc_id",
+                    return_kept: bool = False):
     """The curation FUNNEL — the per-stage retention report every
     FineWeb/RefinedWeb-style pipeline publishes next to its dataset:
     run the document pool through `gates` (ordered ``(name,
@@ -377,14 +377,29 @@ def curation_funnel(df: DataFrame, gates: list, dedup: bool = True,
     scan; the dedup winner is a min-over-window keyed on md5(text)
     (one corpus shuffle, partial-agg absorbed); decontamination is
     the broadcast gram join of `contamination_report`; the funnel
-    itself aggregates doc-count rows into ≤ len(gates)+2 rows, and
-    the final cumulative window runs over THAT stage-sized frame
-    (single partition of ~7 rows — not a data-sized sort)."""
+    itself aggregates doc-count rows into ≤ len(gates)+2 rows
+    (eagerly localCheckpointed, so its two consumers — the stage join
+    and the total — never re-run the corpus lineage), and the final
+    cumulative window runs over THAT stage-sized frame (single
+    partition of ~7 rows — not a data-sized sort).
+
+    A gate predicate that evaluates to NULL (e.g. ``lang = 'en'`` on
+    a NULL lang — ordinary dirty web data) counts as FAILED at that
+    stage, matching what any downstream ``where(pred)`` would drop.
+
+    ``return_kept=True`` returns ``(funnel_df, kept_df)`` where
+    kept_df is the input rows that survived EVERY stage — the single
+    source of truth for "what the funnel reported" vs "what ships"
+    (jobs/curate_job.py uses this so the published report can never
+    desynchronize from the written corpus)."""
     import functools
     stages = [n for n, _ in gates]
     d = df
     for i, (_, pred) in enumerate(gates):
-        d = d.withColumn(f"_g{i}", F.expr(f"({pred})"))
+        # coalesce: a NULL predicate (NULL input column) is a FAIL,
+        # not a silent pass-through-to-kept
+        d = d.withColumn(f"_g{i}",
+                         F.expr(f"coalesce(({pred}), false)"))
     conds = [F.col(f"_g{i}") for i in range(len(gates))]
     if dedup:
         reach = functools.reduce(lambda a, b: a & b, conds)
@@ -411,14 +426,15 @@ def curation_funnel(df: DataFrame, gates: list, dedup: bool = True,
     for i in range(len(conds) - 1, -1, -1):
         ff = F.when(~conds[i], F.lit(i)).otherwise(ff)
     counts = (d.select(ff.alias("_ff"))
-              .groupBy("_ff").agg(F.count("*").alias("_c")))
+              .groupBy("_ff").agg(F.count("*").alias("_c"))
+              .localCheckpoint())  # ≤ n_stages+1 rows, computed ONCE
     spark = df.sparkSession
     stage_rows = spark.createDataFrame(
         [(i, s) for i, s in enumerate(stages)],
         "stage_idx int, stage string")
     wcum = (Window.orderBy("stage_idx")
             .rowsBetween(Window.unboundedPreceding, -1))
-    return (stage_rows
+    funnel = (stage_rows
             .join(counts, stage_rows.stage_idx == counts._ff, "left")
             .join(F.broadcast(counts.agg(
                 F.sum("_c").alias("_total"))))
@@ -430,6 +446,11 @@ def curation_funnel(df: DataFrame, gates: list, dedup: bool = True,
             .select("stage_idx", "stage", "n_in", "n_kept",
                     "n_dropped")
             .orderBy("stage_idx"))
+    if return_kept:
+        keep_all = functools.reduce(lambda a, b: a & b, conds)
+        kept = d.where(keep_all).select(*df.columns)
+        return funnel, kept
+    return funnel
 
 
 def with_normalized_text(df: DataFrame, text_col: str = "text",
@@ -456,11 +477,14 @@ def with_normalized_text(df: DataFrame, text_col: str = "text",
         return s.str.normalize(form)
 
     out = df.withColumn("norm_text", _norm(F.col(text_col)))
+    # zero-width strip is UNCONDITIONAL (part of canonicalization);
+    # four backslashes: Python → SQL-literal → Java-regex escape
+    out = out.withColumn("norm_text", F.expr(
+        "regexp_replace(norm_text, "
+        "'[\\\\u200b\\\\u200c\\\\u200d\\\\ufeff]', '')"))
     if collapse_ws:
-        # four backslashes: Python → SQL-literal → Java-regex escape
         out = out.withColumn("norm_text", F.expr(
-            "trim(regexp_replace(regexp_replace(norm_text, "
-            "'[\\\\u200b\\\\u200c\\\\u200d\\\\ufeff]', ''), "
+            "trim(regexp_replace(norm_text, "
             "'[ \\\\t\\\\n\\\\r\\\\f]+', ' '))"))
     return out
 

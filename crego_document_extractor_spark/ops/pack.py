@@ -75,7 +75,7 @@ def write_training_shards(df: DataFrame, path: str,
     idempotent-resume contract as cache.py).  Returns the manifest
     (one row per written shard) for lineage recording."""
     packed = pack_sequences(df, budget_tokens, id_col, text_col,
-                            range_size)
+                            range_size).persist()
     out = (df.select(F.col(id_col).alias("doc_id"), text_col)
            .join(packed, "doc_id"))
     spark = df.sparkSession
@@ -86,7 +86,12 @@ def write_training_shards(df: DataFrame, path: str,
     try:
         (out.write.mode("overwrite").format(fmt)
          .partitionBy("rng", "shard").save(path))
+        # manifest off the CACHED packing (shard-count-sized), then
+        # cut its lineage so unpersisting below can't trigger a full
+        # recompute when the caller finally aggregates it
+        manifest = shard_manifest(packed).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        prev)
-    return shard_manifest(packed)
+        packed.unpersist()
+    return manifest

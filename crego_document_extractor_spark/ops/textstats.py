@@ -421,7 +421,10 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
           .groupBy("doc_id", "term")
           .agg(F.count("*").alias("tf")))
     if cache_tf:
-        tf = tf.persist()
+        # lazy localCheckpoint: materialized on first use, shared by
+        # both consumers, and RECLAIMED by the ContextCleaner when the
+        # plan becomes unreachable — no caller-side unpersist needed
+        tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.select(F.count("*").alias("n_docs"))
     scored = (tf.join(dfreq, "term")

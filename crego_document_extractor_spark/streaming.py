@@ -185,13 +185,14 @@ def stream_ingest_dedup(spark: SparkSession, input_dir: str,
     state): here the seen-set is an EXTERNAL, queryable table that
     batch jobs co-own, survives checkpoint deletion, and can be
     rebuilt offline.  Failure semantics: Spark replays an unfinished
-    micro-batch, so the index append is at-least-once — harmless,
-    because the index is consumed as a SET by an anti-join (duplicate
-    keys change nothing) and the batch's own survivors are recomputed
-    identically (incremental_exact is deterministic).  The corpus
-    append is then deduplicated by the replayed anti-join against the
-    keys the failed attempt already flushed — each content key lands
-    in the corpus at most once."""
+    micro-batch; the CORPUS write runs FIRST and the index append
+    second, so a crash between the two re-emits the same survivors
+    on replay (the index still lacks their keys → identical anti-join
+    → duplicate corpus rows, cleanable downstream by content_key) —
+    at-least-once delivery.  The reverse order would be silent DATA
+    LOSS: keys flushed without docs make the replayed anti-join drop
+    the documents forever.  Index appends themselves are harmless to
+    replay (the index is consumed as a SET by an anti-join)."""
     from pyspark.sql.utils import AnalysisException
     from .ops.dedup import incremental_exact
 
@@ -208,11 +209,11 @@ def stream_ingest_dedup(spark: SparkSession, input_dir: str,
         # (self-reference → empty) — persist() alone is not reliable
         # across foreachBatch write actions
         surv = incremental_exact(batch_df, history).localCheckpoint()
-        (surv.select("content_key")
-         .write.mode("append").parquet(index_dir))
         (surv.drop("content_key")
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{output_dir}/docs"))
+        (surv.select("content_key")
+         .write.mode("append").parquet(index_dir))
 
     stream = (spark.readStream
               .schema("doc_id long, text string")

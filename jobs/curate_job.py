@@ -35,8 +35,7 @@ def run(spark, input_path: str, output_path: str,
     from pyspark.sql import functions as F
 
     from crego_document_extractor_spark.ops.curation import (
-        contamination_report, curation_funnel)
-    from crego_document_extractor_spark.ops.dedup import exact_duplicates
+        curation_funnel)
     from crego_document_extractor_spark.ops.pack import (
         write_training_shards)
 
@@ -48,23 +47,13 @@ def run(spark, input_path: str, output_path: str,
         ("has_stopword", f"lower({text_col}) LIKE '% the %'"),
     ]
     eval_df = spark.read.parquet(eval_input) if eval_input else None
-    funnel = curation_funnel(docs, gates, dedup=True, eval_df=eval_df)
+    # ONE funnel evaluation yields both the report and the kept set —
+    # the published retention numbers can never desynchronize from
+    # the corpus actually written
+    funnel, kept = curation_funnel(
+        docs, gates, dedup=True, eval_df=eval_df,
+        text_col=text_col, id_col=id_col, return_kept=True)
     report = [r.asDict() for r in funnel.collect()]
-
-    kept = docs
-    for _, pred in gates:
-        kept = kept.where(pred)
-    dup = exact_duplicates(kept.select(id_col, text_col)
-                           .withColumnRenamed(id_col, "doc_id")
-                           .withColumnRenamed(text_col, "text"))
-    losers = dup.select(F.explode(F.expr(
-        "slice(array_sort(doc_ids), 2, 1000000000)")).alias(id_col))
-    kept = kept.join(losers, id_col, "left_anti")
-    if eval_df is not None:
-        bad = contamination_report(kept, eval_df, text_col=text_col,
-                                   id_col=id_col)
-        kept = kept.join(bad.select(F.col("doc_id").alias(id_col)),
-                         id_col, "left_anti")
 
     manifest = write_training_shards(
         kept, output_path, budget_tokens=budget_tokens,

@@ -1072,14 +1072,18 @@ def test_curation_funnel_stagewise_counts(spark):
         Row(doc_id=5, lang="en",
             text="the leaked eval question alpha beta gamma"),
     ]
-    df = spark.createDataFrame(rows)
     evals = spark.createDataFrame(
         [Row(doc_id=100, text="eval question alpha beta gamma")])
-    out = {r.stage: r for r in curation_funnel(
+    # doc 6: NULL lang — the gate predicate is NULL, which must
+    # count as FAILED (what any downstream where() would drop)
+    rows2 = rows + [Row(doc_id=6, lang=None, text="nullish the doc")]
+    df = spark.createDataFrame(rows2)
+    funnel, kept = curation_funnel(
         df, gates=[("lang_en", "lang = 'en'")],
-        dedup=True, eval_df=evals, contam_n=4).collect()}
-    assert out["lang_en"].n_in == 6
-    assert out["lang_en"].n_dropped == 1          # doc 1
+        dedup=True, eval_df=evals, contam_n=4, return_kept=True)
+    out = {r.stage: r for r in funnel.collect()}
+    assert out["lang_en"].n_in == 7
+    assert out["lang_en"].n_dropped == 2          # doc 1 + NULL doc 6
     assert out["exact_dedup"].n_in == 5
     assert out["exact_dedup"].n_dropped == 1      # doc 3 (twin of 2)
     assert out["decontaminate"].n_in == 4
@@ -1088,6 +1092,10 @@ def test_curation_funnel_stagewise_counts(spark):
     # telescoping invariant
     for r in out.values():
         assert r.n_kept == r.n_in - r.n_dropped
+    # return_kept: the kept frame IS the final survivors, with the
+    # input schema (no internal columns)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2, 4]
+    assert set(kept.columns) == {"doc_id", "lang", "text"}
 
 
 def test_top_ngram_coverage_argmax_and_edges(spark):
@@ -1299,3 +1307,14 @@ def test_corpus_diff_and_split(spark):
     s3 = {r.doc_id: r.split
           for r in split_corpus(df, 0.1, 0.1, salt="other").collect()}
     assert s3 != s1                       # salt re-rolls
+
+
+def test_normalized_text_strips_zero_width_without_collapse(spark):
+    """Zero-width strip is part of canonicalization — it must apply
+    even with collapse_ws=False (whitespace left untouched)."""
+    from crego_document_extractor_spark.ops.curation import (
+        with_normalized_text)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a​b  c")])
+    r = with_normalized_text(df, collapse_ws=False).collect()[0]
+    assert r.norm_text == "ab  c"
