@@ -1318,3 +1318,88 @@ def test_normalized_text_strips_zero_width_without_collapse(spark):
         [Row(doc_id=0, text="a​b  c")])
     r = with_normalized_text(df, collapse_ws=False).collect()[0]
     assert r.norm_text == "ab  c"
+
+
+def test_curation_funnel_random_python_oracle(spark):
+    """Randomized (seeded) corpora vs a pure-Python funnel oracle:
+    stage-relative dedup populations, NULL gates, decontamination,
+    telescoping counts, and the kept set — all must agree with the
+    sequential reference implementation."""
+    import hashlib
+    import random
+    from crego_document_extractor_spark.ops.curation import (
+        curation_funnel)
+
+    rng = random.Random(1234)
+    vocab = ["the", "cat", "dog", "runs", "alpha", "beta", "gamma",
+             "delta", "eps"]
+    for trial in range(3):
+        n = rng.randint(8, 40)
+        rows = []
+        for i in range(n):
+            lang = rng.choice(["en", "de", None])
+            # duplicates: sometimes reuse a previous text verbatim
+            if rows and rng.random() < 0.3:
+                text = rows[rng.randrange(len(rows))][2]
+            else:
+                text = " ".join(rng.choice(vocab)
+                                for _ in range(rng.randint(3, 9)))
+            rows.append((i, lang, text))
+        evals = [" ".join(rng.choice(vocab) for _ in range(5))
+                 for _ in range(2)]
+        gates = [("lang_en", "lang = 'en'"),
+                 ("min_len", "length(text) >= 12")]
+
+        # --- pure-Python sequential reference
+        def py_gate(r, idx):
+            if idx == 0:
+                return r[1] == "en"
+            return len(r[2]) >= 12
+
+        def grams4(t):
+            toks = [x for x in t.lower().split() if x]
+            return {" ".join(toks[i:i + 4])
+                    for i in range(len(toks) - 3)}
+        ev_grams = set().union(*(grams4(e) for e in evals)) or set()
+        ff = {}
+        for r in rows:
+            ff[r[0]] = 4  # kept
+            for gi in range(2):
+                if not py_gate(r, gi):
+                    ff[r[0]] = gi
+                    break
+        # stage-relative dedup: min id per text among reach-2 docs
+        pool = [r for r in rows if ff[r[0]] == 4]
+        first = {}
+        for r in pool:
+            k = hashlib.md5(r[2].encode()).hexdigest()
+            first.setdefault(k, r[0])
+        for r in pool:
+            k = hashlib.md5(r[2].encode()).hexdigest()
+            if first[k] != r[0]:
+                ff[r[0]] = 2
+        # decontamination among reach-3 docs
+        for r in rows:
+            if ff[r[0]] == 4 and grams4(r[2]) & ev_grams:
+                ff[r[0]] = 3
+        exp_drop = [sum(1 for v in ff.values() if v == i)
+                    for i in range(4)]
+        exp_kept_ids = sorted(i for i, v in ff.items() if v == 4)
+
+        df = spark.createDataFrame(rows, "doc_id int, lang string, "
+                                         "text string")
+        ev_df = spark.createDataFrame([(j, e) for j, e in
+                                       enumerate(evals)],
+                                      "doc_id int, text string")
+        funnel, kept = curation_funnel(
+            df, gates, dedup=True, eval_df=ev_df, contam_n=4,
+            return_kept=True)
+        got = sorted((r.stage_idx, r.n_in, r.n_kept, r.n_dropped)
+                     for r in funnel.collect())
+        n_in = n
+        for idx in range(4):
+            assert got[idx][3] == exp_drop[idx], (trial, idx, got)
+            assert got[idx][1] == n_in
+            assert got[idx][2] == n_in - exp_drop[idx]
+            n_in -= exp_drop[idx]
+        assert sorted(r.doc_id for r in kept.collect()) == exp_kept_ids
