@@ -701,6 +701,24 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_line_signals(spark, sf):
+    """RedPajama line-shape signals (ops/textstats.with_line_signals)
+    over a deterministically line-ified corpus (every 5-word group
+    becomes a line; doc_id % 6 == 0 docs get a bullet prefix so the
+    bullet fraction is nonzero at any sf)."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_line_signals)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.withColumn("text", F.expr(
+        r"regexp_replace(CASE WHEN doc_id % 6 = 0 "
+        r"THEN concat('- ', text) ELSE text END, "
+        r"'(\\S+ \\S+ \\S+ \\S+ \\S+) ', '$1\n')"))
+    return (with_line_signals(seeded)
+            .select("doc_id", "n_lines", "frac_lines_end_punct",
+                    "frac_bullet_lines", "frac_short_lines",
+                    "mean_line_len"))
+
+
 def _q_corpus_diff(spark, sf):
     """Dataset-version diff (ops/curation.corpus_diff): the 'new'
     snapshot drops doc_id % 41 == 0, edits % 17 == 0, and adds ids
@@ -1458,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_quantiles": _q_length_quantiles,
         "q_readability": _q_readability,
         "q_corpus_diff": _q_corpus_diff,
+        "q_line_signals": _q_line_signals,
         "q_split_corpus": _q_split_corpus,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
@@ -2345,6 +2364,44 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_line_signals": r"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     regexp_replace(CASE WHEN doc_id % 6 = 0
+                                         THEN '- ' || text
+                                         ELSE text END,
+                       '(\S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10),
+                       'g') AS text
+              FROM documents),
+            l AS (SELECT doc_id,
+                    list_filter(list_transform(
+                      string_split(text, chr(10)), x -> trim(x)),
+                      x -> x != '') AS lines
+                  FROM seeded),
+            m AS (SELECT doc_id, len(lines) AS n_lines,
+                    greatest(len(lines), 1) AS nb,
+                    len(list_filter(lines, x ->
+                      right(x, 1) IN ('.', '!', '?', '"', '''')))
+                      AS endp,
+                    len(list_filter(lines, x ->
+                      left(x, 1) IN ('-', '*', '•')
+                      OR regexp_matches(x, '^[0-9]+\.'))) AS bullet,
+                    len(list_filter(lines, x -> length(x) < 10))
+                      AS short,
+                    list_reduce(list_prepend(0, list_transform(lines,
+                      x -> length(x))), (a, b) -> a + b) AS tot
+                  FROM l)
+            SELECT doc_id, n_lines,
+                   round(endp / CAST(nb AS DOUBLE), 4)
+                     AS frac_lines_end_punct,
+                   round(bullet / CAST(nb AS DOUBLE), 4)
+                     AS frac_bullet_lines,
+                   round(short / CAST(nb AS DOUBLE), 4)
+                     AS frac_short_lines,
+                   round(tot / CAST(nb AS DOUBLE), 4)
+                     AS mean_line_len
+            FROM m
         """,
         "q_corpus_diff": """
             WITH o AS (SELECT doc_id, md5(text) AS ok FROM documents),

@@ -522,3 +522,38 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
                 f"round(206.835d - 1.015d * ({words} / cast({sents} AS "
                 f"double)) - 84.6d * ({syls} / cast({words} AS double)), "
                 f"4)")))
+
+
+def with_line_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """RedPajama-style line-level quality signals — the line-shape
+    heuristics (terminal punctuation, bullets, stubs) that separate
+    prose from scraped navigation/listing debris:
+
+    * ``frac_lines_end_punct`` — lines ending in . ! ? or a quote
+    * ``frac_bullet_lines``    — lines starting with -, *, •, or a
+      numbered-list prefix (``^[0-9]+\\.``)
+    * ``frac_short_lines``     — lines under 10 characters
+    * ``mean_line_len``        — mean characters per non-blank line
+
+    All doc-local higher-order functions over the same normalized
+    line split as `with_repetition_stats` — a narrow projection, no
+    shuffle; every predicate is Java-regex/RE2-identical so a DuckDB
+    oracle replays it bit-for-bit (fractions round 4)."""
+    lines = (f"filter(transform(split({text_col}, '\\n'), "
+             f"l -> trim(l)), l -> l != '')")
+    n = f"greatest(size({lines}), 1)"
+    endp = (f"size(filter({lines}, l -> "
+            f"right(l, 1) IN ('.', '!', '?', '\"', \"'\")))")
+    bullet = (f"size(filter({lines}, l -> "
+              f"left(l, 1) IN ('-', '*', '•') OR l rlike '^[0-9]+\\\\.'))")
+    short = f"size(filter({lines}, l -> length(l) < 10))"
+    tot = f"aggregate({lines}, 0, (a, l) -> a + length(l))"
+    return (df.withColumn("n_lines", F.expr(f"size({lines})"))
+            .withColumn("frac_lines_end_punct",
+                        F.expr(f"round({endp} / cast({n} AS double), 4)"))
+            .withColumn("frac_bullet_lines",
+                        F.expr(f"round({bullet} / cast({n} AS double), 4)"))
+            .withColumn("frac_short_lines",
+                        F.expr(f"round({short} / cast({n} AS double), 4)"))
+            .withColumn("mean_line_len",
+                        F.expr(f"round({tot} / cast({n} AS double), 4)")))

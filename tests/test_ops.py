@@ -1403,3 +1403,25 @@ def test_curation_funnel_random_python_oracle(spark):
             assert got[idx][2] == n_in - exp_drop[idx]
             n_in -= exp_drop[idx]
         assert sorted(r.doc_id for r in kept.collect()) == exp_kept_ids
+
+
+def test_line_signals_fractions(spark):
+    """with_line_signals: each fraction counts exactly the lines it
+    claims to, on a constructed multi-line doc."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_line_signals)
+    text = "\n".join([
+        "A full prose sentence here.",   # end punct
+        "- bullet item",                  # bullet
+        "1. numbered item",               # bullet (numbered)
+        "short",                          # short (<10)
+        "no terminal punctuation line",   # neither
+    ])
+    r = with_line_signals(spark.createDataFrame(
+        [Row(doc_id=0, text=text)])).collect()[0]
+    assert r.n_lines == 5
+    assert r.frac_lines_end_punct == round(1 / 5.0, 4)
+    assert r.frac_bullet_lines == round(2 / 5.0, 4)
+    assert r.frac_short_lines == round(1 / 5.0, 4)
+    total = sum(len(x) for x in text.split("\n"))
+    assert r.mean_line_len == round(total / 5.0, 4)
