@@ -701,6 +701,17 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk(d, k=3)
 
 
+def _q_char_entropy(spark, sf):
+    """Shannon character entropy (ops/textstats.with_char_entropy):
+    gibberish/encoding-junk signal, 2000-char prefix, doc-local —
+    the oracle replays the per-char census and the log2 sum."""
+    from crego_document_extractor_spark.ops.textstats import (
+        with_char_entropy)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return (with_char_entropy(d)
+            .select("doc_id", "n_distinct_chars", "char_entropy"))
+
+
 def _q_line_signals(spark, sf):
     """RedPajama line-shape signals (ops/textstats.with_line_signals)
     over a deterministically line-ified corpus (every 5-word group
@@ -1477,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": _q_readability,
         "q_corpus_diff": _q_corpus_diff,
         "q_line_signals": _q_line_signals,
+        "q_char_entropy": _q_char_entropy,
         "q_split_corpus": _q_split_corpus,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_dup_ngrams": _q_dup_ngrams,
@@ -2364,6 +2376,28 @@ def oracle_sql() -> dict[str, str]:
                       FROM w)
             SELECT doc_id, dsir_logw, dsir_key FROM keyed
             ORDER BY dsir_key DESC, doc_id ASC LIMIT 25
+        """,
+        "q_char_entropy": """
+            WITH c AS (
+              SELECT doc_id,
+                     list_transform(range(1,
+                       length(substr(text, 1, 2000)) + 1),
+                       i -> substr(text, 1, 2000)[i]) AS chars
+              FROM documents),
+            e AS (SELECT doc_id,
+                    len(list_distinct(chars)) AS n_distinct_chars,
+                    greatest(len(chars), 1) AS n,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(list_distinct(chars), d ->
+                        (len(list_filter(chars, x -> x = d)) /
+                         CAST(greatest(len(chars), 1) AS DOUBLE)) *
+                        (ln(len(list_filter(chars, x -> x = d)) /
+                         CAST(greatest(len(chars), 1) AS DOUBLE)) /
+                         ln(2.0)))), (a, b) -> a + b) AS s
+                  FROM c)
+            SELECT doc_id, n_distinct_chars,
+                   round(-s, 4) + CAST(0.0 AS DOUBLE) AS char_entropy
+            FROM e
         """,
         "q_line_signals": r"""
             WITH seeded AS (

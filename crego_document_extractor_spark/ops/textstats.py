@@ -557,3 +557,31 @@ def with_line_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
                         F.expr(f"round({short} / cast({n} AS double), 4)"))
             .withColumn("mean_line_len",
                         F.expr(f"round({tot} / cast({n} AS double), 4)")))
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text",
+                      max_chars: int = 2000) -> DataFrame:
+    """Shannon character entropy (bits/char) — the cheap gibberish /
+    encoding-junk detector: natural language sits ~3.5-4.5 bits,
+    base64 blobs and binary spill run higher, single-char spam runs
+    toward 0.  Computed over the first `max_chars` characters (a
+    stable prefix bounds the doc-local O(distinct × len) count loop
+    regardless of document size).  Adds ``char_entropy`` (round 4)
+    and ``n_distinct_chars``.  Narrow projection — no shuffle; all
+    arithmetic is plain double ops a DuckDB oracle reproduces
+    (summation-order slack is absorbed by the rounding, same
+    discipline as ops/curation.dsir_select)."""
+    prefix = f"substring({text_col}, 1, {max_chars})"
+    chars = f"split({prefix}, '')"
+    dchars = f"array_distinct({chars})"
+    n = f"greatest(size({chars}), 1)"
+    # -sum over distinct chars of p*log2(p), p = count/n
+    ent = (f"-aggregate({dchars}, cast(0.0 AS double), (acc, d) -> "
+           f"acc + (size(filter({chars}, c -> c = d)) / cast({n} AS "
+           f"double)) * (ln(size(filter({chars}, c -> c = d)) / "
+           f"cast({n} AS double)) / ln(2.0d)))")
+    # + 0.0d: normalizes IEEE -0.0 (empty/one-char inputs) to 0.0 so
+    # both engines hash the same value
+    return (df.withColumn("n_distinct_chars", F.expr(f"size({dchars})"))
+            .withColumn("char_entropy",
+                        F.expr(f"round({ent}, 4) + cast(0.0 AS double)")))

@@ -1425,3 +1425,23 @@ def test_line_signals_fractions(spark):
     assert r.frac_short_lines == round(1 / 5.0, 4)
     total = sum(len(x) for x in text.split("\n"))
     assert r.mean_line_len == round(total / 5.0, 4)
+
+
+def test_char_entropy_signal(spark):
+    """with_char_entropy: uniform 4-char text = 2 bits, single-char
+    spam = 0 bits, and English prose sits between spam and a
+    high-entropy random-ish string."""
+    import math
+    from crego_document_extractor_spark.ops.textstats import (
+        with_char_entropy)
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="abcd" * 10),
+        Row(doc_id=1, text="aaaaaaaaaa"),
+        Row(doc_id=2, text="the quick brown fox jumps over it"),
+        Row(doc_id=3, text="qZ3!x9@Lp#w7&Kf2%Mv5^Rt8*Yh1-Jd6"),
+    ])
+    out = {r.doc_id: r for r in with_char_entropy(df).collect()}
+    assert out[0].char_entropy == 2.0
+    assert out[0].n_distinct_chars == 4
+    assert out[1].char_entropy == 0.0
+    assert 0.0 < out[2].char_entropy < out[3].char_entropy
