@@ -2381,8 +2381,9 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
               SELECT doc_id,
                      list_transform(range(1,
-                       length(substr(text, 1, 2000)) + 1),
-                       i -> substr(text, 1, 2000)[i]) AS chars
+                       length(substr(coalesce(text, ''), 1, 2000)) + 1),
+                       i -> substr(coalesce(text, ''), 1, 2000)[i])
+                       AS chars
               FROM documents),
             e AS (SELECT doc_id,
                     len(list_distinct(chars)) AS n_distinct_chars,
@@ -2576,9 +2577,11 @@ def oracle_sql() -> dict[str, str]:
             corpus AS (SELECT * FROM seeded WHERE doc_id % 97 != 0),
             ev AS (SELECT doc_id, text FROM seeded
                    WHERE doc_id % 97 = 0),
-            g AS (SELECT *, (lang = 'en') AS g0,
-                         (n_chars >= 100) AS g1,
-                         (lower(text) LIKE '% the %') AS g2
+            g AS (SELECT *,
+                         coalesce(lang = 'en', false) AS g0,
+                         coalesce(n_chars >= 100, false) AS g1,
+                         coalesce(lower(text) LIKE '% the %', false)
+                           AS g2
                   FROM corpus),
             ded AS (SELECT *, min(CASE WHEN g0 AND g1 AND g2
                                        THEN doc_id END)

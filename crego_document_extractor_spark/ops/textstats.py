@@ -421,10 +421,13 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
           .groupBy("doc_id", "term")
           .agg(F.count("*").alias("tf")))
     if cache_tf:
-        # lazy localCheckpoint: materialized on first use, shared by
-        # both consumers, and RECLAIMED by the ContextCleaner when the
-        # plan becomes unreachable — no caller-side unpersist needed
-        tf = tf.localCheckpoint(eager=False)
+        # persist, not localCheckpoint: checkpointed partitions have
+        # no lineage, so an executor loss would abort the job — with
+        # persist a lost block recomputes.  The block lifetime is
+        # managed by the ContextCleaner: once the returned plan is
+        # unreachable the persisted RDD is GC-reclaimed, so no
+        # caller-side unpersist is required.
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.select(F.count("*").alias("n_docs"))
     scored = (tf.join(dfreq, "term")
@@ -571,8 +574,10 @@ def with_char_entropy(df: DataFrame, text_col: str = "text",
     arithmetic is plain double ops a DuckDB oracle reproduces
     (summation-order slack is absorbed by the rounding, same
     discipline as ops/curation.dsir_select)."""
-    prefix = f"substring({text_col}, 1, {max_chars})"
-    chars = f"split({prefix}, '')"
+    prefix = f"substring(coalesce({text_col}, ''), 1, {max_chars})"
+    # filter the '' artifact: split('', '') is [''] in Spark, which
+    # would count the empty string as a character on empty documents
+    chars = f"filter(split({prefix}, ''), c -> c != '')"
     dchars = f"array_distinct({chars})"
     n = f"greatest(size({chars}), 1)"
     # -sum over distinct chars of p*log2(p), p = count/n

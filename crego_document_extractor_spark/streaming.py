@@ -209,8 +209,9 @@ def stream_ingest_dedup(spark: SparkSession, input_dir: str,
         # (self-reference → empty) — persist() alone is not reliable
         # across foreachBatch write actions
         surv = incremental_exact(batch_df, history).localCheckpoint()
-        (surv.drop("content_key")
-         .withColumn("batch_id", F.lit(batch_id))
+        # content_key stays ON the corpus rows so crash-replay
+        # duplicates are directly cleanable (dedup by content_key)
+        (surv.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{output_dir}/docs"))
         (surv.select("content_key")
          .write.mode("append").parquet(index_dir))

@@ -53,11 +53,16 @@ def run(spark, input_path: str, output_path: str,
     funnel, kept = curation_funnel(
         docs, gates, dedup=True, eval_df=eval_df,
         text_col=text_col, id_col=id_col, return_kept=True)
+    # persist the kept set: it feeds the packing AND the shard join
+    # inside write_training_shards — without the cache the gate scan
+    # + dedup window shuffle would re-run per consumer
+    kept = kept.persist()
     report = [r.asDict() for r in funnel.collect()]
 
     manifest = write_training_shards(
         kept, output_path, budget_tokens=budget_tokens,
         id_col=id_col, text_col=text_col)
+    kept.unpersist()
     shards = manifest.agg(
         F.count("*").alias("n_shards"),
         F.sum("n_docs").alias("n_docs"),
