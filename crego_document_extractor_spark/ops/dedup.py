@@ -25,37 +25,53 @@ def exact_duplicates(df: DataFrame) -> DataFrame:
             .where("n > 1"))
 
 
-def _shingles(tokens: str, k: int = 3) -> str:
-    # the CASE guard matters: sequence(1, 0) is DESCENDING [1, 0] in
-    # Spark, so the un-guarded form crashes on docs with < k tokens
-    # (slice start 0 throws under ANSI)
-    return (f"CASE WHEN size({tokens}) >= {k} THEN "
-            f"array_distinct(transform("
-            f"sequence(1, size({tokens}) - {k - 1}), "
-            f"i -> concat_ws(' ', slice({tokens}, i, {k})))) "
-            f"ELSE CAST(array() AS ARRAY<STRING>) END")
+def _shingle_hashes(k: int = 3) -> str:
+    """32-bit fingerprint per k-token window over a MATERIALIZED
+    ``toks`` column.  Three deliberate choices, each measured at
+    sf1.0/50k docs (r6 optimization round, guide §2.3/§4.1):
+
+    * ``toks`` must be a bound COLUMN, not a spliced ``split(text,' ')``
+      snippet — a split inside the transform lambda is re-evaluated
+      once PER WINDOW POSITION (quadratic in doc length; it was 10.5 s
+      of q_minhash_bands' 12.5 s at sf1.0);
+    * the window is hashed directly as a k-argument murmur3 over its
+      tokens — no concat_ws string build, no slice array copy (another
+      −1.5 s);
+    * no array_distinct: ``min()`` over duplicate windows equals
+      ``min()`` over distinct windows, so dedup before the aggregate
+      is pure overhead (−0.4 s).
+
+    The CASE guard matters: sequence(1, 0) is DESCENDING [1, 0] in
+    Spark, so the un-guarded form emits phantom windows on docs with
+    < k tokens (and element_at past the end throws under ANSI)."""
+    args = ", ".join("element_at(toks, i)" if j == 0 else
+                     f"element_at(toks, i + {j})" for j in range(k))
+    return (f"CASE WHEN size(toks) >= {k} THEN "
+            f"transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> hash({args})) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END")
 
 
 def _minhash_scalar(df: DataFrame, n_hashes: int,
                     shingle_k: int) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — one explode of the shingle set, then n
-    scalar ``min(...)`` aggregates.  Scalar hash + min are
+    """(doc_id, h0..h{n-1}) — one explode of the window-hash set, then
+    n scalar ``min(...)`` aggregates.  Scalar hash + min are
     whole-stage-codegen with map-side partial aggregation, so the
     shuffle carries one (doc_id, n ints) row per doc per map task —
     unlike the former n interpreted ``transform`` passes per document
     (CodegenFallback, the round-1 56 s hot spot).
 
-    The shingle STRING is hashed once to a 32-bit fingerprint and the
-    n seeded values derive from that int (``hash(h, seed)``) — the
-    standard single-basis + per-permutation-mix construction
-    (datasketch uses one SHA1 basis the same way); hashing the full
-    string n times was measured ~20% slower at sf0.1 for no
-    statistical gain beyond the base-fingerprint collision rate
-    (~n²/2³², negligible at per-corpus shingle counts)."""
-    toks = "split(text, ' ')"
-    sh = df.select(
-        "doc_id", F.explode(F.expr(_shingles(toks, shingle_k))).alias("s"))
-    sh = sh.select("doc_id", F.expr("hash(s)").alias("h"))
+    Each k-token window is hashed ONCE to a 32-bit fingerprint
+    (murmur3 over the k tokens, `_shingle_hashes`) and the n seeded
+    values derive from that int (``hash(h, seed)``) — the standard
+    single-basis + per-permutation-mix construction (datasketch uses
+    one SHA1 basis the same way); hashing full shingle strings n times
+    was measured ~20% slower at sf0.1 for no statistical gain beyond
+    the base-fingerprint collision rate (~n²/2³², negligible at
+    per-corpus shingle counts)."""
+    toks = df.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toks.select(
+        "doc_id", F.explode(F.expr(_shingle_hashes(shingle_k))).alias("h"))
     return sh.groupBy("doc_id").agg(
         *[F.min(F.expr(f"hash(h, {seed})")).alias(f"h{seed}")
           for seed in range(n_hashes)])
