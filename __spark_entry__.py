@@ -219,19 +219,29 @@ def _q_s3_anti_join_resume(spark, sf):
 
 
 def _q_j2_cosine_topk(spark, sf):
-    """J2+T1+F13: similarity scoring cross-join, threshold, top-k."""
+    """J2+T1+F13: similarity scoring cross-join, threshold, top-k.
+
+    r6 optimization (guide §1.2 per-task work): the double-cast and the
+    norm aggregates are computed ONCE PER SIDE before the join — the
+    previous form inlined them into the scored projection, so every
+    (query, candidate) pair re-ran both 64-element norm folds and the
+    per-element casts in interpreted HOF code (3× the necessary work;
+    only the dot product is genuinely per-pair).  Bit-identical values:
+    same element order, same double arithmetic, same round."""
     e = _t(spark, sf, "embeddings")
-    q = e.where("vec_id < 5").select(F.col("vec_id").alias("query_id"),
-                                     F.col("embedding").alias("qv"))
-    c = e.select(F.col("vec_id").alias("cand_id"),
-                 F.col("embedding").alias("cv"))
-    dot = ("aggregate(zip_with(qv, cv, (x, y) -> cast(x AS double) * cast(y AS double)), "
-           "0.0d, (a, x) -> a + x)")
-    nq = "sqrt(aggregate(qv, 0.0d, (a, x) -> a + cast(x AS double) * cast(x AS double)))"
-    nc = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + cast(x AS double) * cast(x AS double)))"
+    to_d = "transform(embedding, x -> cast(x AS double))"
+    norm = "sqrt(aggregate({v}, 0.0d, (a, x) -> a + x * x))"
+    q = (e.where("vec_id < 5")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.expr(to_d).alias("qv"))
+         .withColumn("nq", F.expr(norm.format(v="qv"))))
+    c = (e.select(F.col("vec_id").alias("cand_id"),
+                  F.expr(to_d).alias("cv"))
+         .withColumn("nc", F.expr(norm.format(v="cv"))))
+    dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"
     scored = (q.crossJoin(c)
               .where("query_id != cand_id")
-              .withColumn("sim", F.expr(f"round({dot} / ({nq} * {nc}), 6)")))
+              .withColumn("sim", F.expr(f"round({dot} / (nq * nc), 6)")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where("rank <= 5 AND sim >= -1.0")
