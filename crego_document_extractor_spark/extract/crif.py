@@ -409,6 +409,18 @@ def extract_all(parsed: DataFrame, engine: str | None = None,
                 "engine='sql' needs the full parsed schema "
                 "(tables/chunks/text); got a pre-flattened fused parse — "
                 "use parse_documents(docs) without fuse_retrieval")
+        # r6: the relational plan references text/tables/chunks dozens
+        # of times; over the prunable JVM parse those are interpreted
+        # HOF expressions the optimizer may inline per reference
+        # (measured 25 s → 74 s at sf1.0/240k).  When the input is an
+        # unmodified parse_documents() output, rebuild from its source
+        # with the opaque Arrow parse — one materialization, attribute
+        # references downstream (the exact pre-r6 plan; parity between
+        # the two parse forms is pinned by the span-equality suite).
+        src = getattr(parsed, "_plain_parse_docs", None)
+        if src is not None:
+            from ..parse import parse_documents_arrow
+            parsed = parse_documents_arrow(src)
         # the relational engine computes the account aggregates itself
         # (its independence is what the A9b agreement check buys); a
         # fused-parse input's pre-flattened copies would collide with

@@ -48,6 +48,9 @@ RETR_TYPE = T.ArrayType(T.StructType([
 
 _PARAM_IDS = [spec["param_id"] for spec in PARAMETER_SPECS]
 _QUERY_MAT = np.stack([S.embed(query_text(spec)) for spec in PARAMETER_SPECS])
+#: constant per process — recomputing it per document inside
+#: retrieve_best was pure overhead (r6)
+_QUERY_NORMS = np.linalg.norm(_QUERY_MAT, axis=1)
 
 
 def retrieve_rows(cand_list) -> list[dict]:
@@ -55,7 +58,7 @@ def retrieve_rows(cand_list) -> list[dict]:
     rows (the single shared definition — used by the `best_chunks`
     pandas_udf AND the fused parse+retrieval MapInPandas stage)."""
     cand_vecs = [S.embed(c["content"]) for c in cand_list]
-    retrieved = S.retrieve_best(_QUERY_MAT, cand_vecs)
+    retrieved = S.retrieve_best(_QUERY_MAT, cand_vecs, _QUERY_NORMS)
     row = []
     for pid, (best_i, score) in zip(_PARAM_IDS, retrieved):
         if best_i is None:
@@ -84,8 +87,18 @@ def candidate_pool(doc_kind: str, tables, chunks) -> list[dict]:
 
 
 @F.pandas_udf(RETR_TYPE)
-def best_chunks(cands: pd.Series) -> pd.Series:
+def _best_chunks_udf(cands: pd.Series) -> pd.Series:
     return pd.Series([retrieve_rows(cand_list) for cand_list in cands])
+
+
+#: marked non-deterministic (guide §4.4): the optimizer must neither
+#: duplicate this expensive UDF nor inline it into operators that
+#: cannot evaluate Python (with the r6 JVM parse, CollapseProject
+#: folded the whole candidate expression INTO the consumer's
+#: Generate/explode, where a PythonUDF is unevaluable —
+#: INTERNAL_ERROR at runtime).  The function is in fact pure; the
+#: marker only constrains optimizer movement.
+best_chunks = _best_chunks_udf.asNondeterministic()
 
 
 def with_retrieval(parsed_df):

@@ -35,10 +35,23 @@ def strip_ws(v: str) -> str:
 def clean_number(v: str) -> str:
     """clean_number (crif_parser.py:207-216): strip ','/'₹'/'Rs',
     float() else 0.0.  Python-parity details: unicode-whitespace strip
-    (str.strip) and float()'s single-underscore-between-digits rule."""
+    (str.strip), float()'s single-underscore-between-digits rule, and
+    a float-grammar gate before the cast — Spark's string→double cast
+    additionally accepts Java-isms Python float() rejects (trailing
+    'd'/'f' suffixes, hex-float '0x1p3', and it trims ASCII control
+    chars <= 0x20 like '1\\x1b' — the r6 hypothesis counterexample),
+    so a value outside Python's grammar must be 0.0 even when the
+    cast would succeed.  Known remaining one-way gap (documented, as
+    with the inf/nan spellings): Python float() transliterates
+    non-ASCII unicode decimal digits; the SQL form returns 0.0 for
+    those."""
     cleaned = strip_ws(f"regexp_replace({v}, ',|₹|Rs', '')")
     no_us = f"regexp_replace({cleaned}, '(?<=[0-9])_(?=[0-9])', '')"
-    return f"coalesce(try_cast({no_us} AS double), 0.0d)"
+    grammar = ("'^[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)"
+               "([eE][+-]?[0-9]+)?$|^[+-]?(?i:inf(inity)?|nan)$'")
+    return (f"CASE WHEN {no_us} rlike {grammar} "
+            f"THEN coalesce(try_cast({no_us} AS double), 0.0d) "
+            f"ELSE 0.0d END")
 
 
 def extract_field(text: str, field: str) -> str:

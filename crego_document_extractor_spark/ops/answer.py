@@ -119,13 +119,18 @@ def coerce(value: str, etype: str):
 
 _FB_SCHEMA = ("doc_id string, param_id string, fb_num double, "
               "fb_bool boolean, fb_str string, fb_type string, "
-              "fb_found boolean")
+              "fb_found boolean, score double")
 
 
 def _answer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "param_id", "fb_num", "fb_bool",
                                "fb_str", "fb_type", "fb_found")}
+        # the retrieval score rides through the answer stage (r6): the
+        # old plan joined the answers back to a SECOND evaluation of
+        # the whole retr subtree just to reattach `score` — one more
+        # shuffle join and a duplicate run of the retrieval UDF
+        out["score"] = pdf["score"].tolist()
         for doc_id, pid, content in zip(pdf["doc_id"], pdf["param_id"],
                                         pdf["content"]):
             ans = extractive_answer(pid, content)
@@ -196,8 +201,7 @@ def with_rag_fallback(results: DataFrame, parsed: DataFrame,
     answers = (retr.join(eligible, ["doc_id", "param_id"], "left_semi")
                .mapInPandas(_answer_batches, schema=_FB_SCHEMA)
                .where("fb_found"))
-    scores = retr.select("doc_id", "param_id", "score")
-    patch = (answers.join(scores, ["doc_id", "param_id"])
+    patch = (answers
              .select("doc_id", "param_id", "fb_num", "fb_bool", "fb_str",
                      "fb_type",
                      F.expr(f"round(0.6d * {X.boost('score')}, 6)")

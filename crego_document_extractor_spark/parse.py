@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from . import semantics as S
@@ -312,6 +312,182 @@ def _parse_retr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             **rep, **flat})
 
 
+# ---------------------------------------------------------------------------
+# JVM (pure-SQL) parse — r6 optimization
+# ---------------------------------------------------------------------------
+#
+# The non-fused parse used to run `_parse_batches` in a mapInPandas
+# stage: every consumer paid the full JVM→Arrow→pandas→Arrow→JVM round
+# trip AND the Python compute for ALL output columns, because an opaque
+# Python stage defeats Catalyst column pruning (guide §4.1/§4.2).  The
+# same semantics are expressible as higher-order SQL over the spans
+# array, which (a) removes the Python boundary entirely for this path
+# and (b) lets Catalyst prune: a clean_spans-only consumer never
+# computes text/tables/chunks at all.  Every expression below mirrors a
+# `semantics.py` function line by line (named in comments); the parity
+# suite (tests/test_spans, scripts/smoke.py span diff, A9b agreement)
+# pins JVM-vs-Python equality, which the Python oracle now genuinely
+# independently checks.
+
+#: Java-regex char class of exactly CPython's str whitespace set
+#: (Py_UNICODE_ISSPACE) — `str.split()` / `str.strip()` parity needs
+#: the full set, not regex \s (which lacks \xa0 etc.)
+_PY_WS_CLASS = "[" + "".join(
+    f"\\\\u{o:04x}" for o in range(0x10000) if chr(o).isspace()) + "]"
+
+#: python str.strip() as SQL: drop leading/trailing python-whitespace
+def _pystrip(e: str) -> str:
+    return (f"regexp_replace({e}, "
+            f"'^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$', '')")
+
+
+def _clean_spans_sql() -> str:
+    """semantics.clean_spans: stable sort by offset, drop boilerplate
+    (kind stoplist + link-density, semantics.is_boilerplate), re-densify
+    offsets 0..n-1.  Stability on equal offsets is reproduced by
+    tagging each span with its original index before the comparator
+    sort (Python `sorted` is stable)."""
+    links = "((length(s.text) - length(replace(s.text, ']('))) div 2)"
+    words = (f"size(filter(split(s.text, '{_PY_WS_CLASS}+'), "
+             f"w -> w != ''))")
+    boiler = (f"(s.kind IN ('nav', 'footer', 'ad') OR "
+              f"(s.kind = 'text' AND {links} >= 2 AND "
+              f"{words} < {links} * 6))")
+    ordered = ("transform(array_sort("
+               "transform(spans, (s, i) -> struct(s AS s, i AS i)), "
+               "(a, b) -> CASE WHEN a.s.offset < b.s.offset THEN -1 "
+               "WHEN a.s.offset > b.s.offset THEN 1 "
+               "WHEN a.i < b.i THEN -1 WHEN a.i > b.i THEN 1 "
+               "ELSE 0 END), x -> x.s)")
+    return (f"transform(filter({ordered}, s -> NOT {boiler}), "
+            f"(s, i) -> named_struct("
+            f"'kind', s.kind, 'text', s.text, "
+            f"'media_ref', s.media_ref, 'offset', cast(i AS int)))")
+
+
+#: semantics.render_line for a table span: '| <line> |' per grid line
+def _table_md(raw: str) -> str:
+    return (f"array_join(transform(split({raw}, '\\\\n'), "
+            f"ln -> concat('| ', ln, ' |')), '\\n')")
+
+
+def _render_text_sql(clean: str) -> str:
+    """semantics.render_text over the clean spans: heading → '# ' +
+    text, text → raw, table → markdown pipe rows, others skipped."""
+    return (f"array_join(transform("
+            f"filter({clean}, s -> s.kind IN ('heading', 'text', 'table')), "
+            f"s -> CASE WHEN s.kind = 'heading' THEN concat('# ', s.text) "
+            f"WHEN s.kind = 'text' THEN s.text "
+            f"ELSE {_table_md('s.text')} END), '\\n')")
+
+
+def _chunks_sql(clean: str) -> str:
+    """semantics.build_chunks: the renderable spans stream into
+    header-delimited chunks — a heading closes the current chunk (kept
+    when its text is non-blank by python-strip) and opens
+    header=line.strip('# '), text=line+'\\n'; text/table lines append;
+    the final partial chunk is flushed; chunk_idx = enumerate.
+
+    Formulated SEGMENT-wise, not as an aggregate() fold: segment k
+    spans the rendered lines [bounds[k], bounds[k+1]) where bounds =
+    1 ++ heading positions ++ n+1, its text is the '\\n'-join of those
+    lines plus a trailing newline, and its header is 'Start' for the
+    pre-heading prefix or the heading line stripped of '# '.  The
+    obvious fold re-concats the accumulated text at every span —
+    O(chunk_chars × spans) per document; it alone was 13.9 s of the
+    16.7 s full-parse noop at 240k docs — while the segment form copies
+    every line exactly once."""
+    lines = (f"transform(filter({clean}, "
+             f"s -> s.kind IN ('heading', 'text', 'table')), "
+             f"s -> named_struct('h', s.kind = 'heading', "
+             f"'line', CASE WHEN s.kind = 'heading' "
+             f"THEN concat('# ', s.text) "
+             f"WHEN s.kind = 'text' THEN s.text "
+             f"ELSE {_table_md('s.text')} END))")
+    # positions (1-based) of heading lines; segment bounds around them
+    # (CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so the
+    # un-guarded form probes element_at(rl, 1) on an empty array)
+    bounds = ("CASE WHEN size(rl) = 0 THEN array(1, 1) "
+              "ELSE concat(array(1), "
+              "filter(sequence(1, size(rl)), "
+              "i -> element_at(rl, i).h), "
+              "array(size(rl) + 1)) END")
+    seg = ("transform(sequence(1, size(bs) - 1), k -> named_struct("
+           "'header', CASE WHEN k = 1 THEN 'Start' "
+           "ELSE trim(BOTH '# ' FROM "
+           "element_at(rl, element_at(bs, k)).line) END, "
+           "'text', CASE WHEN element_at(bs, k + 1) > element_at(bs, k) "
+           "THEN concat(array_join(transform("
+           "slice(rl, element_at(bs, k), "
+           "element_at(bs, k + 1) - element_at(bs, k)), x -> x.line), "
+           "'\\n'), '\\n') ELSE '' END))")
+    nonblank = _pystrip("c.text") + " != ''"
+    # bind rl then bs via single-element transform shells (a spliced
+    # subexpression inside a lambda would re-evaluate per element)
+    segs = (f"element_at(transform(array({lines}), rl -> "
+            f"element_at(transform(array({bounds}), bs -> {seg}), 1)), 1)")
+    return (f"transform(filter({segs}, c -> {nonblank}), "
+            f"(c, i) -> named_struct("
+            f"'chunk_idx', cast(i AS int), 'header', c.header, "
+            f"'text', c.text))")
+
+
+def _with_tables_cols(df: DataFrame) -> DataFrame:
+    """semantics.build_tables + parse_table as staged array columns
+    (each intermediate bound ONCE — a spliced subexpression inside a
+    lambda is re-evaluated per element, the q_minhash_bands disease).
+
+    parse_table semantics: line 0 = '|'-separated column names
+    (python-stripped); blank line 0 → ([], []); following non-blank
+    lines = rows, cells python-stripped then padded/truncated to the
+    column count; page = 'page:(\\d+)$' match on media_ref else -1."""
+    from .extract.sqlexpr import SLICE_REST
+    df = df.withColumn("_tsp", F.expr(
+        "filter(_clean, s -> s.kind = 'table')"))
+    df = df.withColumn("_tlines", F.expr(
+        "transform(_tsp, s -> split(s.text, '\\\\n'))"))
+    df = df.withColumn("_tcols", F.expr(
+        f"transform(_tlines, lines -> "
+        f"CASE WHEN {_pystrip('element_at(lines, 1)')} = '' "
+        f"THEN cast(array() AS ARRAY<STRING>) "
+        f"ELSE transform(split(element_at(lines, 1), '\\\\|'), "
+        f"c -> {_pystrip('c')}) END)"))
+    cells = _pystrip("try_element_at(cs, j)")
+    df = df.withColumn("_trows", F.expr(
+        f"zip_with(_tlines, _tcols, (lines, cols) -> "
+        f"CASE WHEN size(cols) = 0 "
+        f"THEN cast(array() AS ARRAY<ARRAY<STRING>>) "
+        f"ELSE transform("
+        f"transform(filter(slice(lines, 2, {SLICE_REST}), "
+        f"ln -> {_pystrip('ln')} != ''), ln -> split(ln, '\\\\|')), "
+        f"cs -> transform(sequence(1, size(cols)), "
+        f"j -> coalesce({cells}, ''))) END)"))
+    return df.withColumn("_tables", F.expr(
+        "transform(_tsp, (s, i) -> named_struct("
+        "'id', cast(i AS int), "
+        "'page', coalesce(try_cast(regexp_extract("
+        "coalesce(s.media_ref, ''), '^page:([0-9]+)$', 1) AS int), -1), "
+        "'columns', element_at(_tcols, i + 1), "
+        "'rows', element_at(_trows, i + 1), "
+        "'raw', s.text))"))
+
+
+def parse_documents_jvm(docs: DataFrame) -> DataFrame:
+    """Pure-JVM parse: documents(doc_id, spans) → PARSED_SCHEMA, no
+    Python stage (see the section comment above)."""
+    df = docs.withColumn("_clean", F.expr(_clean_spans_sql()))
+    df = _with_tables_cols(df)
+    return df.select(
+        "doc_id",
+        F.expr(DOC_KIND_SQL).alias("doc_kind"),
+        F.expr("cast(size(spans) AS int)").alias("n_spans"),
+        F.col("_clean").alias("clean_spans"),
+        F.expr(_render_text_sql("_clean")).alias("text"),
+        F.col("_tables").alias("tables"),
+        F.expr(_chunks_sql("_clean")).alias("chunks"),
+    )
+
+
 def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
     """documents(doc_id, spans) → parsed-document DataFrame.
 
@@ -349,6 +525,28 @@ def parse_documents(docs: DataFrame, fuse_retrieval: bool = False) -> DataFrame:
                for c in _ACCT_AGG_COLS]
             + [T.StructField(name, typ) for name, typ in _flat_fields()])
         return docs.mapInPandas(_parse_retr_batches, schema=schema)
+    # r6: the full-schema parse is pure JVM SQL — no Python boundary,
+    # and Catalyst prunes unused parse columns per consumer (the
+    # mapInPandas form computed and Arrow-shipped every column for
+    # every consumer; `_parse_batches` remains the Python twin used by
+    # the fused stage above and the test oracle).  The raw input rides
+    # along as a Python-side tag: a consumer that references the wide
+    # parse columns MANY times (the relational engine) re-parses from
+    # the source with the Arrow stage instead, where one opaque
+    # materialization beats dozens of interpreted re-evaluations —
+    # see extract.crif.extract_all.
+    out = parse_documents_jvm(docs)
+    out._plain_parse_docs = docs
+    return out
+
+
+def parse_documents_arrow(docs: DataFrame) -> DataFrame:
+    """The Arrow/Python full-schema parse (the pre-r6 physical form):
+    one opaque mapInPandas materializing every parse column.  Faster
+    than the JVM expressions ONLY for consumers that re-reference the
+    wide columns many times over (e.g. the relational extraction
+    engine); every other consumer wants `parse_documents` (prunable,
+    no Python boundary)."""
     return docs.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
 
 
