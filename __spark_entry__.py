@@ -250,16 +250,30 @@ def _q_j2_cosine_topk(spark, sf):
 
 def _q_p3_segmentation(spark, sf):
     """P3: running-count header segmentation, SQL form (SURVEY §2.2):
-    token 'the' opens a new segment; per doc: #segments, max length."""
+    token 'the' opens a new segment; per doc: #segments, max length.
+
+    r6: formulated per-document over the token array (segment k spans
+    [bounds[k], bounds[k+1]) with bounds = 1 ++ positions-of-'the' ++
+    n+1; the possibly-empty pre-'the' prefix segment is dropped, like
+    the window form where no rows ever carry its seg id) instead of
+    posexplode → running-count window → two hash aggregates: the same
+    values with zero exchanges (plan: 3 Exchange → 0).  Counts cast to
+    bigint to keep the former count(*)/max(count) schema."""
     d = _t(spark, sf, "documents")
-    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-    w = (Window.partitionBy("doc_id").orderBy("pos")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    seg = toks.withColumn("seg", F.sum(F.when(F.col("tok") == "the", 1).otherwise(0)).over(w))
-    per_seg = seg.groupBy("doc_id", "seg").agg(F.count("*").alias("seg_len"))
-    return (per_seg.groupBy("doc_id")
-            .agg(F.count("*").alias("n_segments"),
-                 F.max("seg_len").alias("max_seg_len")))
+    return (d.select("doc_id", F.split("text", " ").alias("toks"))
+            .select("doc_id", F.expr(
+                "concat(array(1), "
+                "filter(sequence(1, size(toks)), "
+                "i -> element_at(toks, i) = 'the'), "
+                "array(size(toks) + 1))").alias("bs"))
+            .select(
+                "doc_id",
+                F.expr("cast(size(filter(sequence(1, size(bs) - 1), "
+                       "k -> element_at(bs, k + 1) > element_at(bs, k))) "
+                       "AS bigint)").alias("n_segments"),
+                F.expr("cast(array_max(transform(sequence(1, size(bs) - 1), "
+                       "k -> element_at(bs, k + 1) - element_at(bs, k))) "
+                       "AS bigint)").alias("max_seg_len")))
 
 
 def _q_u1_union_pool(spark, sf):
@@ -280,19 +294,20 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_text_quality(spark, sf):
-    """Text analysis: token count, avg token length, stopword ratio."""
+    """Text analysis: token count, avg token length, stopword ratio.
+    r6: the token array binds once as a column (the text was split
+    four times per row across the three outputs)."""
     d = _t(spark, sf, "documents")
-    toks = "split(text, ' ')"
-    stop = ("size(filter(split(text, ' '), "
-            "x -> x IN ('the', 'a', 'of', 'and', 'to')))")
-    return d.select(
-        "doc_id",
-        F.expr(f"size({toks})").alias("n_tokens"),
-        F.expr(f"round(length(replace(text, ' ', '')) / size({toks}), 4)")
-        .alias("avg_tok_len"),
-        F.expr(f"round({stop} / cast(size({toks}) AS double), 4)")
-        .alias("stopword_ratio"),
-    )
+    return (d.select("doc_id", "text", F.split("text", " ").alias("toks"))
+            .select(
+                "doc_id",
+                F.expr("size(toks)").alias("n_tokens"),
+                F.expr("round(length(replace(text, ' ', '')) / "
+                       "size(toks), 4)").alias("avg_tok_len"),
+                F.expr("round(size(filter(toks, "
+                       "x -> x IN ('the', 'a', 'of', 'and', 'to'))) / "
+                       "cast(size(toks) AS double), 4)")
+                .alias("stopword_ratio")))
 
 
 def _q_ngram_jaccard(spark, sf):
@@ -353,6 +368,19 @@ def _q_a5_active_loans_by_type_inline(spark, sf):
                     ('Credit Card', true), ('Business Loan', true)
              AS t(acct_type, is_active)
     """)
+
+
+def _lineify_6tok(d, ml_case: str):
+    """doc text → 6-token lines through a BOUND token array (r6:
+    slicing a spliced split(text,' ') inside the transform lambda
+    re-split the text once per line).  ``ml_case`` builds the final
+    multi-line text from the bound ``lines`` array column."""
+    return (d.select("doc_id", F.split("text", " ").alias("_tk"))
+            .select("doc_id", F.expr(
+                "transform(sequence(1, cast(ceil(size(_tk) / 6.0) AS int)), "
+                "i -> concat_ws(' ', slice(_tk, (i - 1) * 6 + 1, 6)))")
+                .alias("lines"))
+            .select("doc_id", F.expr(ml_case).alias("text")))
 
 
 _HTML_DEMO = ("<body><nav><a href='/'>home</a></nav><h1>Title %d</h1>"
@@ -615,14 +643,11 @@ def _q_boilerplate(spark, sf):
     from crego_document_extractor_spark.ops.curation import (
         remove_boilerplate_lines)
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = "split(text, ' ')"
-    lines = (f"transform(sequence(1, cast(ceil(size({toks}) / 6.0) AS int)), "
-             f"i -> concat_ws(' ', slice({toks}, (i - 1) * 6 + 1, 6)))")
-    ml = (f"array_join(CASE WHEN doc_id % 4 = 0 "
-          f"THEN concat({lines}, "
-          f"array('subscribe to our newsletter today')) "
-          f"ELSE {lines} END, '\\n')")
-    seeded = d.withColumn("text", F.expr(ml))
+    seeded = _lineify_6tok(d, (
+        "array_join(CASE WHEN doc_id % 4 = 0 "
+        "THEN concat(lines, "
+        "array('subscribe to our newsletter today')) "
+        "ELSE lines END, '\\n')"))
     return (remove_boilerplate_lines(seeded, min_docs=50)
             .select("doc_id", "n_removed_lines",
                     F.md5("text").alias("clean_md5")))
@@ -659,13 +684,10 @@ def _q_repetition_stats(spark, sf):
     from crego_document_extractor_spark.ops.textstats import (
         with_repetition_stats)
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = "split(text, ' ')"
-    lines = (f"transform(sequence(1, cast(ceil(size({toks}) / 6.0) AS int)), "
-             f"i -> concat_ws(' ', slice({toks}, (i - 1) * 6 + 1, 6)))")
-    ml = (f"array_join(CASE WHEN doc_id % 3 = 0 "
-          f"THEN concat({lines}, slice({lines}, 1, 1)) "
-          f"ELSE {lines} END, '\\n')")
-    seeded = d.withColumn("text", F.expr(ml))
+    seeded = _lineify_6tok(d, (
+        "array_join(CASE WHEN doc_id % 3 = 0 "
+        "THEN concat(lines, slice(lines, 1, 1)) "
+        "ELSE lines END, '\\n')"))
     return (with_repetition_stats(seeded)
             .select("doc_id", "n_lines", "dup_line_frac",
                     "dup_line_char_frac"))
@@ -906,14 +928,11 @@ def _q_paragraph_dedup(spark, sf):
     drop-all-copies census, over the same seeded input."""
     from crego_document_extractor_spark.ops.dedup import paragraph_dedup
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = "split(text, ' ')"
-    lines = (f"transform(sequence(1, cast(ceil(size({toks}) / 6.0) AS int)), "
-             f"i -> concat_ws(' ', slice({toks}, (i - 1) * 6 + 1, 6)))")
-    ml = (f"array_join(CASE WHEN doc_id % 4 = 0 "
-          f"THEN concat({lines}, "
-          f"array('subscribe to our newsletter today')) "
-          f"ELSE {lines} END, '\\n')")
-    seeded = d.withColumn("text", F.expr(ml))
+    seeded = _lineify_6tok(d, (
+        "array_join(CASE WHEN doc_id % 4 = 0 "
+        "THEN concat(lines, "
+        "array('subscribe to our newsletter today')) "
+        "ELSE lines END, '\\n')"))
     return (paragraph_dedup(seeded)
             .select("doc_id", F.md5("text").alias("dedup_md5"),
                     "n_paragraphs", "n_dropped"))

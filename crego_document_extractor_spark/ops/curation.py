@@ -114,25 +114,34 @@ def remove_boilerplate_lines(df: DataFrame, min_docs: int = 10,
     proves partition-invariant)."""
     census = (boilerplate_lines(df, min_docs, text_col, id_col)
               .agg(F.collect_list("line").alias("_bl")))
-    lines = _doc_lines(text_col)
-    kept = f"filter({lines}, l -> NOT array_contains(_bl, l))"
+    # bind the line array and the kept subset once (r6): spliced, the
+    # text was re-split four times per row and the census membership
+    # filter ran twice
     return (df.crossJoin(F.broadcast(census))
+            .withColumn("_lines", F.expr(_doc_lines(text_col)))
+            .withColumn("_kept", F.expr(
+                "filter(_lines, l -> NOT array_contains(_bl, l))"))
             .withColumn("n_removed_lines",
-                        F.expr(f"size({lines}) - size({kept})"))
-            .withColumn(text_col, F.expr(f"array_join({kept}, '\\n')"))
-            .drop("_bl"))
+                        F.expr("size(_lines) - size(_kept)"))
+            .withColumn(text_col, F.expr("array_join(_kept, '\\n')"))
+            .drop("_bl", "_lines", "_kept"))
 
 
 def _word_ngrams(text_col: str, n: int) -> str:
-    """SQL: distinct lowercase word n-grams of `text_col`."""
+    """SQL: distinct lowercase word n-grams of `text_col`.  The token
+    array binds once (r6): spliced into the transform lambda, the
+    text was re-split per gram position."""
+    from .textstats import _bind
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark — the
     # un-guarded form crashes on docs with < n tokens (slice start 0)
-    return (f"CASE WHEN size({toks}) >= {n} THEN "
-            f"array_distinct(transform("
-            f"sequence(1, size({toks}) - {n - 1}), "
-            f"i -> concat_ws(' ', slice({toks}, i, {n})))) "
-            f"ELSE CAST(array() AS ARRAY<STRING>) END")
+    return _bind(
+        toks, "tk",
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"array_distinct(transform("
+        f"sequence(1, size(tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tk, i, {n})))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END")
 
 
 def contamination_report(df: DataFrame, eval_df: DataFrame, n: int = 8,
@@ -262,12 +271,15 @@ def _word_ngrams_all(text_col: str, n: int) -> str:
     """SQL: ALL (non-distinct) lowercase word n-grams of `text_col`,
     in text order — occurrence counts matter when the grams estimate
     a distribution (unlike `_word_ngrams`, whose distinct sets feed
-    overlap checks)."""
+    overlap checks).  Token array bound once, as in `_word_ngrams`."""
+    from .textstats import _bind
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    return (f"CASE WHEN size({toks}) >= {n} THEN "
-            f"transform(sequence(1, size({toks}) - {n - 1}), "
-            f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
-            f"ELSE CAST(array() AS ARRAY<STRING>) END")
+    return _bind(
+        toks, "tk",
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tk, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END")
 
 
 def dsir_logratios(df: DataFrame, target_df: DataFrame,

@@ -542,9 +542,11 @@ def incremental_exact(batch: DataFrame, history: DataFrame,
     w = Window.partitionBy("content_key")
     first = (keyed.withColumn("_mid", F.min(id_col).over(w))
              .where(F.col(id_col) == F.col("_mid")).drop("_mid"))
-    return first.join(
-        history.select("content_key").distinct(),
-        "content_key", "left_anti")
+    # no .distinct() on the history side (r5 ADVICE): left-anti probes
+    # key EXISTENCE, so deduplicating the corpus-sized index first
+    # only added a full index shuffle+aggregate per batch
+    return first.join(history.select("content_key"),
+                      "content_key", "left_anti")
 
 
 def incremental_minhash_candidates(batch: DataFrame,

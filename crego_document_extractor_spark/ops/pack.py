@@ -78,20 +78,18 @@ def write_training_shards(df: DataFrame, path: str,
                             range_size).persist()
     out = (df.select(F.col(id_col).alias("doc_id"), text_col)
            .join(packed, "doc_id"))
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                   "dynamic")
     try:
-        (out.write.mode("overwrite").format(fmt)
+        # per-write option, NOT a session-conf flip (r5 ADVICE): two
+        # concurrent writers mutating the session-global
+        # partitionOverwriteMode could race, one restore flipping the
+        # other's in-flight overwrite back to static mid-write
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic").format(fmt)
          .partitionBy("rng", "shard").save(path))
         # manifest off the CACHED packing (shard-count-sized), then
         # cut its lineage so unpersisting below can't trigger a full
         # recompute when the caller finally aggregates it
         manifest = shard_manifest(packed).localCheckpoint()
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       prev)
         packed.unpersist()
     return manifest

@@ -15,6 +15,17 @@ from pyspark.sql.window import Window
 
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
+
+def _bind(bound_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``bound_expr`` once and expose it as
+    ``var`` inside ``body`` (single-element transform shell).  A
+    spliced subexpression is otherwise re-evaluated at every textual
+    occurrence — and, inside a lambda, once PER ELEMENT (the r6
+    q_minhash_bands disease: a split inside a transform made the
+    query quadratic in document length)."""
+    return (f"element_at(transform(array({bound_expr}), "
+            f"{var} -> {body}), 1)")
+
 #: tiny trigram→language profile (deterministic heuristic stand-in; a
 #: real deployment would broadcast a fastText-style table)
 _LANG_MARKERS = {
@@ -37,33 +48,48 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     best = (f"try_element_at(array_sort({arr}, (l, r) -> "
             f"CASE WHEN l.hits > r.hits THEN -1 WHEN l.hits < r.hits THEN 1 "
             f"WHEN l.lang < r.lang THEN -1 ELSE 1 END), 1)")
+    # bind the sorted-argmax once — the old form spliced it twice
+    # (.hits and .lang), running every marker census and the sort 2×
     return df.withColumn(
         "lang_guess",
-        F.expr(f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END"))
+        F.expr(_bind(best, "b",
+                     "CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END")))
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length band, alpha ratio,
-    stopword presence, mean word length band (Gopher-style filters)."""
+    stopword presence, mean word length band (Gopher-style filters).
+
+    r6: the four UNROUNDED metrics are computed once into a hidden
+    struct column and every output (including the score's threshold
+    CASEs, which must see the unrounded values — rounding first could
+    flip a boundary) projects from it; the old form re-spliced each
+    ratio (and its token split) into the score expression."""
     toks = f"split({text_col}, '\\\\s+')"
-    n_toks = f"size({toks})"
     stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
-    stop_ratio = (f"size(filter({toks}, t -> lower(t) IN ({stop_set}))) / "
-                  f"cast(greatest({n_toks}, 1) AS double)")
-    alpha_ratio = (f"length(regexp_replace({text_col}, '[^a-zA-Z]', '')) / "
-                   f"cast(greatest(length({text_col}), 1) AS double)")
-    mean_word = (f"length(replace({text_col}, ' ', '')) / "
-                 f"cast(greatest({n_toks}, 1) AS double)")
+    raw = _bind(
+        toks, "tk",
+        f"named_struct("
+        f"'n_toks', size(tk), "
+        f"'stop_ratio', size(filter(tk, t -> lower(t) IN ({stop_set}))) / "
+        f"cast(greatest(size(tk), 1) AS double), "
+        f"'alpha_ratio', "
+        f"length(regexp_replace({text_col}, '[^a-zA-Z]', '')) / "
+        f"cast(greatest(length({text_col}), 1) AS double), "
+        f"'mean_word', length(replace({text_col}, ' ', '')) / "
+        f"cast(greatest(size(tk), 1) AS double))")
     return (df
-            .withColumn("n_tokens", F.expr(n_toks))
-            .withColumn("stopword_ratio", F.expr(f"round({stop_ratio}, 4)"))
-            .withColumn("alpha_ratio", F.expr(f"round({alpha_ratio}, 4)"))
-            .withColumn("mean_word_len", F.expr(f"round({mean_word}, 4)"))
+            .withColumn("_qs", F.expr(raw))
+            .withColumn("n_tokens", F.expr("_qs.n_toks"))
+            .withColumn("stopword_ratio", F.expr("round(_qs.stop_ratio, 4)"))
+            .withColumn("alpha_ratio", F.expr("round(_qs.alpha_ratio, 4)"))
+            .withColumn("mean_word_len", F.expr("round(_qs.mean_word, 4)"))
             .withColumn("quality_score", F.expr(
-                f"round((CASE WHEN {n_toks} BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) + "
-                f"(CASE WHEN {alpha_ratio} >= 0.6 THEN 0.25 ELSE 0.0 END) + "
-                f"(CASE WHEN {stop_ratio} >= 0.01 THEN 0.25 ELSE 0.0 END) + "
-                f"(CASE WHEN {mean_word} BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2)")))
+                "round((CASE WHEN _qs.n_toks BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) + "
+                "(CASE WHEN _qs.alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END) + "
+                "(CASE WHEN _qs.stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) + "
+                "(CASE WHEN _qs.mean_word BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2)"))
+            .drop("_qs"))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -100,21 +126,32 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
       duplicate-line-character filter)
 
     Both fractions round to 4 places; all-integer sums keep the
-    division exact and engine-independent (oracle-checkable)."""
-    lines = f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l != '')"
-    n = f"size({lines})"
-    dup_frac = (f"CASE WHEN {n} = 0 THEN 0.0d ELSE "
-                f"1.0d - size(array_distinct({lines})) / "
-                f"cast({n} AS double) END")
-    dup_chars = (f"aggregate({lines}, 0, (a, l) -> a + "
-                 f"(CASE WHEN size(filter({lines}, x -> x = l)) > 1 "
-                 f"THEN length(l) ELSE 0 END))")
-    tot_chars = f"aggregate({lines}, 0, (a, l) -> a + length(l))"
-    dup_char_frac = f"{dup_chars} / cast(greatest({tot_chars}, 1) AS double)"
-    return (df.withColumn("n_lines", F.expr(n))
-            .withColumn("dup_line_frac", F.expr(f"round({dup_frac}, 4)"))
-            .withColumn("dup_line_char_frac",
-                        F.expr(f"round({dup_char_frac}, 4)")))
+    division exact and engine-independent (oracle-checkable).
+
+    r6: the normalized line array binds ONCE into a hidden struct —
+    the old form spliced the split+trim+filter pipeline into every
+    consumer, including INSIDE the dup-chars lambda, where it was
+    rebuilt once per line (quadratic split work on top of the
+    intended O(lines²) local dup count)."""
+    lines = (f"filter(transform(split({text_col}, '\\n'), "
+             f"l -> trim(l)), l -> l != '')")
+    stats = _bind(
+        lines, "ls",
+        "named_struct("
+        "'n', size(ls), "
+        "'dup_frac', CASE WHEN size(ls) = 0 THEN 0.0d ELSE "
+        "1.0d - size(array_distinct(ls)) / cast(size(ls) AS double) END, "
+        "'dup_chars', aggregate(ls, 0, (a, l) -> a + "
+        "(CASE WHEN size(filter(ls, x -> x = l)) > 1 "
+        "THEN length(l) ELSE 0 END)), "
+        "'tot_chars', aggregate(ls, 0, (a, l) -> a + length(l)))")
+    return (df.withColumn("_rs", F.expr(stats))
+            .withColumn("n_lines", F.expr("_rs.n"))
+            .withColumn("dup_line_frac", F.expr("round(_rs.dup_frac, 4)"))
+            .withColumn("dup_line_char_frac", F.expr(
+                "round(_rs.dup_chars / "
+                "cast(greatest(_rs.tot_chars, 1) AS double), 4)"))
+            .drop("_rs"))
 
 
 def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
@@ -128,14 +165,17 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     pure counts.  The distinct-doc count rides the same aggregation
     via the expand path.  Global top-k is a TakeOrdered (no total
     sort)."""
+    # the token array binds as a COLUMN before the gram transform —
+    # spliced into the lambda it would re-split the text per gram
+    # position (r6; the CASE guard matters: sequence(1, 0) is
+    # DESCENDING [1, 0] in Spark, crashing docs with < n tokens)
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    # CASE guard: sequence(1, 0) is DESCENDING [1, 0] in Spark — the
-    # un-guarded form crashes on docs with < n tokens (slice start 0)
-    grams = (f"CASE WHEN size({toks}) >= {n} THEN "
-             f"transform(sequence(1, size({toks}) - {n - 1}), "
-             f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+    grams = (f"CASE WHEN size(toks) >= {n} THEN "
+             f"transform(sequence(1, size(toks) - {n - 1}), "
+             f"i -> concat_ws(' ', slice(toks, i, {n}))) "
              f"ELSE CAST(array() AS ARRAY<STRING>) END")
-    return (df.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+    return (df.select("doc_id", F.expr(toks).alias("toks"))
+            .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
             .groupBy("gram")
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct("doc_id").alias("n_docs"))
@@ -146,12 +186,15 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
 def _tok_hash16(tok: str) -> str:
     """SQL: the token's first 16 md5 bits as an integer in
     [0, 65535] — ascii() arithmetic so Spark and a DuckDB oracle
-    compute the identical value."""
-    hx = [f"substring(md5({tok}), {i}, 1)" for i in (1, 2, 3, 4)]
-    return "(" + " + ".join(
+    compute the identical value.  The md5 binds once (r6): spliced
+    per hex digit it was computed 4× per token, in per-token hot
+    loops (model scoring, hashed features)."""
+    hx = [f"substring(_m, {i}, 1)" for i in (1, 2, 3, 4)]
+    arith = "(" + " + ".join(
         f"(ascii({c}) - CASE WHEN {c} BETWEEN '0' AND '9' "
         f"THEN 48 ELSE 87 END) * {m}"
         for c, m in zip(hx, (4096, 256, 16, 1))) + ")"
+    return _bind(f"md5({tok})", "_m", arith)
 
 
 def _tok_weight(tok: str) -> str:
@@ -177,12 +220,19 @@ def with_model_quality_score(df: DataFrame, text_col: str = "text",
     hash weight as the OOV fallback.  Adds ``model_n_tokens`` and
     ``model_quality_score`` (rounded to 6, oracle-checkable)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    mean_w = (f"aggregate({toks}, 0.0d, (a, t) -> a + {_tok_weight('t')}) "
-              f"/ cast(greatest(size({toks}), 1) AS double)")
-    logit = f"({bias!r}d + {gain!r}d * ({mean_w}))"
-    return (df.withColumn("model_n_tokens", F.expr(f"size({toks})"))
+    # bind the token array once (r6): it was spliced into the fold,
+    # the divisor and the count column — three tokenizations per row
+    stats = _bind(
+        toks, "tk",
+        f"named_struct('n', size(tk), 'mean_w', "
+        f"aggregate(tk, 0.0d, (a, t) -> a + {_tok_weight('t')}) "
+        f"/ cast(greatest(size(tk), 1) AS double))")
+    logit = f"({bias!r}d + {gain!r}d * (_mq.mean_w))"
+    return (df.withColumn("_mq", F.expr(stats))
+            .withColumn("model_n_tokens", F.expr("_mq.n"))
             .withColumn("model_quality_score",
-                        F.expr(f"round(1.0d / (1.0d + exp(-{logit})), 6)")))
+                        F.expr(f"round(1.0d / (1.0d + exp(-{logit})), 6)"))
+            .drop("_mq"))
 
 
 #: classic UTF-8-read-as-latin-1 digraphs — plain literals, so the
@@ -212,11 +262,17 @@ def with_encoding_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     nonp = (f"length(regexp_replace({text_col}, "
             f"'[\\\\x20-\\\\x7e\\\\x09\\\\x0a\\\\x0d]', '')) / "
             f"cast(greatest(length({text_col}), 1) AS double)")
-    return (df.withColumn("n_mojibake", F.expr(moji))
-            .withColumn("n_replacement", F.expr(repl))
-            .withColumn("nonprint_ratio", F.expr(f"round({nonp}, 4)"))
+    # each census binds once (r6): the old form spliced all three into
+    # encoding_ok as well, doubling every split/regexp pass
+    return (df.withColumn("_ef", F.expr(
+                f"named_struct('moji', {moji}, 'repl', {repl}, "
+                f"'nonp', {nonp})"))
+            .withColumn("n_mojibake", F.expr("_ef.moji"))
+            .withColumn("n_replacement", F.expr("_ef.repl"))
+            .withColumn("nonprint_ratio", F.expr("round(_ef.nonp, 4)"))
             .withColumn("encoding_ok", F.expr(
-                f"({moji}) = 0 AND {repl} = 0 AND {nonp} < 0.30d")))
+                "_ef.moji = 0 AND _ef.repl = 0 AND _ef.nonp < 0.30d"))
+            .drop("_ef"))
 
 
 def corpus_scorecard(df: DataFrame, text_col: str = "text",
@@ -258,17 +314,22 @@ def hashed_features(df: DataFrame, dim: int = 8,
     x_j = (# tokens whose 16-bit md5 hash lands in bucket j) /
     max(n_tokens, 1).
 
-    Pure JVM projection (dim passes of `filter` over the token array
-    — dim is small, 4-16, the fastText convention); identical ascii
-    arithmetic to `_tok_weight`, so a DuckDB oracle reproduces the
-    exact doubles."""
+    Pure JVM projection; identical ascii arithmetic to `_tok_weight`,
+    so a DuckDB oracle reproduces the exact doubles.
+
+    r6: each token's bucket is hashed ONCE into a bound int array and
+    the `dim` cells count over it — the old form ran `dim` filter
+    passes over a re-spliced token array, recomputing the md5 hash of
+    every token per bucket (dim × 4 md5 calls per token)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    nt = f"cast(greatest(size({toks}), 1) AS double)"
+    buckets = _bind(toks, "tk",
+                    f"transform(tk, t -> pmod({_tok_hash16('t')}, {dim}))")
     cells = ", ".join(
-        f"size(filter({toks}, t -> pmod({_tok_hash16('t')}, {dim}) = {j}))"
-        f" / {nt}"
+        f"size(filter(bk, b -> b = {j})) "
+        f"/ cast(greatest(size(bk), 1) AS double)"
         for j in range(dim))
-    return df.withColumn("x", F.expr(f"array({cells})"))
+    return df.withColumn(
+        "x", F.expr(_bind(buckets, "bk", f"array({cells})")))
 
 
 def train_quality_classifier(df: DataFrame, label_col: str = "label",
@@ -311,6 +372,17 @@ def train_quality_classifier(df: DataFrame, label_col: str = "label",
     return w, b
 
 
+#: BOS-framed bigram pairs over a bound `toks` column (shared by
+#: training and scoring; the CASE guard handles the sub-1-token doc)
+_BI_PAIRS = ("CASE WHEN size(toks) >= 1 THEN "
+             "transform(sequence(1, size(toks)), i -> struct("
+             "CASE WHEN i = 1 THEN '<s>' "
+             "ELSE try_element_at(toks, i - 1) END AS w1, "
+             "try_element_at(toks, i) AS w2)) "
+             "ELSE CAST(array() AS "
+             "ARRAY<STRUCT<w1: STRING, w2: STRING>>) END")
+
+
 def ngram_lm_train(df: DataFrame, text_col: str = "text",
                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train a bigram language model on the corpus (the CCNet/KenLM
@@ -327,14 +399,10 @@ def ngram_lm_train(df: DataFrame, text_col: str = "text",
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     uni = (df.select(F.explode(F.expr(toks)).alias("w"))
            .groupBy("w").agg(F.count("*").alias("c_w")))
-    bi_pairs = (f"CASE WHEN size({toks}) >= 1 THEN "
-                f"transform(sequence(1, size({toks})), i -> struct("
-                f"CASE WHEN i = 1 THEN '<s>' "
-                f"ELSE try_element_at({toks}, i - 1) END AS w1, "
-                f"try_element_at({toks}, i) AS w2)) "
-                f"ELSE CAST(array() AS "
-                f"ARRAY<STRUCT<w1: STRING, w2: STRING>>) END")
-    bi = (df.select(F.explode(F.expr(bi_pairs)).alias("p"))
+    # token array bound as a column (r6): spliced into the lambda, the
+    # text was re-split once per token position
+    bi = (df.select(F.expr(toks).alias("toks"))
+          .select(F.explode(F.expr(_BI_PAIRS)).alias("p"))
           .select("p.w1", "p.w2")
           .groupBy("w1", "w2").agg(F.count("*").alias("c_bi")))
     stats = uni.agg(F.count("*").alias("vocab_size"),
@@ -357,15 +425,9 @@ def with_perplexity(df: DataFrame, bi: DataFrame, stats: DataFrame,
     CCNet drops docs above a per-language percentile of
     ``lm_perplexity`` — composable with `corpus_scorecard`."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    bi_pairs = (f"CASE WHEN size({toks}) >= 1 THEN "
-                f"transform(sequence(1, size({toks})), i -> struct("
-                f"CASE WHEN i = 1 THEN '<s>' "
-                f"ELSE try_element_at({toks}, i - 1) END AS w1, "
-                f"try_element_at({toks}, i) AS w2)) "
-                f"ELSE CAST(array() AS "
-                f"ARRAY<STRUCT<w1: STRING, w2: STRING>>) END")
-    ids = df.select("doc_id", F.explode(F.expr(bi_pairs)).alias("p")) \
-            .select("doc_id", "p.w1", "p.w2")
+    ids = (df.select("doc_id", F.expr(toks).alias("toks"))
+           .select("doc_id", F.explode(F.expr(_BI_PAIRS)).alias("p"))
+           .select("doc_id", "p.w1", "p.w2"))
     ctx = (bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx")))
     scored = (ids
               .join(bi, ["w1", "w2"], "left")
@@ -414,7 +476,13 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
     census reuses it instead of re-running the explode lineage —
     the production lever when the corpus scan dominates (exchange
     reuse across the two consumers is not guaranteed by the
-    optimizer; without caching the plan scans the corpus twice)."""
+    optimizer; without caching the plan scans the corpus twice).
+    Lifetime contract: DataFrame.persist registers the plan in the
+    session CacheManager, which holds it for the session — it is NOT
+    auto-freed when the result goes unreachable, so a cache_tf=True
+    caller owns the blocks and must release them with
+    ``result.sparkSession.catalog.clearCache()`` or by unpersisting
+    the plan when done (r5 ADVICE)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     tf = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(F.expr(toks)).alias("term"))
@@ -423,10 +491,7 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
     if cache_tf:
         # persist, not localCheckpoint: checkpointed partitions have
         # no lineage, so an executor loss would abort the job — with
-        # persist a lost block recomputes.  The block lifetime is
-        # managed by the ContextCleaner: once the returned plan is
-        # unreachable the persisted RDD is GC-reclaimed, so no
-        # caller-side unpersist is required.
+        # persist a lost block recomputes
         tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.select(F.count("*").alias("n_docs"))
@@ -454,18 +519,27 @@ def with_top_ngram_coverage(df: DataFrame, n: int = 2,
 
     Doc-local higher-order functions only — a narrow projection with
     NO shuffle, like `with_repetition_stats`; the O(distinct × total)
-    local count is bounded by per-document size, never corpus size."""
+    local count is bounded by per-document size, never corpus size.
+
+    r6: the token and gram arrays bind once — the old form re-spliced
+    the gram pipeline (split included) into the per-distinct-gram
+    count lambda, rebuilding it once per distinct gram on top of the
+    intended local count."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    grams = (f"CASE WHEN size({toks}) >= {n} THEN "
-             f"transform(sequence(1, size({toks}) - {n - 1}), "
-             f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
-             f"ELSE CAST(array() AS ARRAY<STRING>) END")
-    counted = (f"transform(array_distinct({grams}), g -> "
-               f"named_struct('g', g, 'c', "
-               f"size(filter({grams}, x -> x = g))))")
-    best = (f"try_element_at(array_sort({counted}, (l, r) -> "
-            f"CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
-            f"WHEN l.g < r.g THEN -1 ELSE 1 END), 1)")
+    grams = _bind(
+        toks, "tk",
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tk, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END")
+    counted = ("transform(array_distinct(gs), g -> "
+               "named_struct('g', g, 'c', "
+               "size(filter(gs, x -> x = g))))")
+    best = _bind(
+        grams, "gs",
+        f"try_element_at(array_sort({counted}, (l, r) -> "
+        f"CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1 "
+        f"WHEN l.g < r.g THEN -1 ELSE 1 END), 1)")
     return (df.withColumn("_tg", F.expr(best))
             .withColumn("top_gram", F.expr("_tg.g"))
             .withColumn("top_gram_count",
@@ -513,18 +587,24 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     count ([aeiouy]+) — the standard dictionary-free heuristic, chosen
     because it means the same thing in Java regex and RE2 (DuckDB-
     oracle-portable).  Adds ``n_sentences``, ``n_syllables``, and
-    ``flesch`` (round 4).  Pure scalar projection — no shuffle."""
+    ``flesch`` (round 4).  Pure scalar projection — no shuffle.
+    The three counts bind once into a struct (r6): each was spliced
+    twice (its own column + the flesch formula)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    sents = (f"greatest(size(filter(split({text_col}, '[.!?]+'), "
-             f"s -> trim(s) != '')), 1)")
-    syls = f"size(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0))"
-    words = f"greatest(size({toks}), 1)"
-    return (df.withColumn("n_sentences", F.expr(sents))
-            .withColumn("n_syllables", F.expr(syls))
+    stats = (f"named_struct("
+             f"'sents', greatest(size(filter(split({text_col}, '[.!?]+'), "
+             f"s -> trim(s) != '')), 1), "
+             f"'syls', size(regexp_extract_all(lower({text_col}), "
+             f"'[aeiouy]+', 0)), "
+             f"'words', greatest(size({toks}), 1))")
+    return (df.withColumn("_fl", F.expr(stats))
+            .withColumn("n_sentences", F.expr("_fl.sents"))
+            .withColumn("n_syllables", F.expr("_fl.syls"))
             .withColumn("flesch", F.expr(
-                f"round(206.835d - 1.015d * ({words} / cast({sents} AS "
-                f"double)) - 84.6d * ({syls} / cast({words} AS double)), "
-                f"4)")))
+                "round(206.835d - 1.015d * (_fl.words / cast(_fl.sents AS "
+                "double)) - 84.6d * (_fl.syls / cast(_fl.words AS double)), "
+                "4)"))
+            .drop("_fl"))
 
 
 def with_line_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -541,25 +621,33 @@ def with_line_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     All doc-local higher-order functions over the same normalized
     line split as `with_repetition_stats` — a narrow projection, no
     shuffle; every predicate is Java-regex/RE2-identical so a DuckDB
-    oracle replays it bit-for-bit (fractions round 4)."""
+    oracle replays it bit-for-bit (fractions round 4).  The line
+    array binds once into a struct (r6): it was spliced into all five
+    signals, re-splitting the text per output column."""
     lines = (f"filter(transform(split({text_col}, '\\n'), "
              f"l -> trim(l)), l -> l != '')")
-    n = f"greatest(size({lines}), 1)"
-    endp = (f"size(filter({lines}, l -> "
-            f"right(l, 1) IN ('.', '!', '?', '\"', \"'\")))")
-    bullet = (f"size(filter({lines}, l -> "
-              f"left(l, 1) IN ('-', '*', '•') OR l rlike '^[0-9]+\\\\.'))")
-    short = f"size(filter({lines}, l -> length(l) < 10))"
-    tot = f"aggregate({lines}, 0, (a, l) -> a + length(l))"
-    return (df.withColumn("n_lines", F.expr(f"size({lines})"))
+    stats = _bind(
+        lines, "ls",
+        "named_struct("
+        "'n_lines', size(ls), "
+        "'endp', size(filter(ls, l -> "
+        "right(l, 1) IN ('.', '!', '?', '\"', \"'\"))), "
+        "'bullet', size(filter(ls, l -> "
+        "left(l, 1) IN ('-', '*', '•') OR l rlike '^[0-9]+\\\\.')), "
+        "'short', size(filter(ls, l -> length(l) < 10)), "
+        "'tot', aggregate(ls, 0, (a, l) -> a + length(l)))")
+    n = "cast(greatest(_ls.n_lines, 1) AS double)"
+    return (df.withColumn("_ls", F.expr(stats))
+            .withColumn("n_lines", F.expr("_ls.n_lines"))
             .withColumn("frac_lines_end_punct",
-                        F.expr(f"round({endp} / cast({n} AS double), 4)"))
+                        F.expr(f"round(_ls.endp / {n}, 4)"))
             .withColumn("frac_bullet_lines",
-                        F.expr(f"round({bullet} / cast({n} AS double), 4)"))
+                        F.expr(f"round(_ls.bullet / {n}, 4)"))
             .withColumn("frac_short_lines",
-                        F.expr(f"round({short} / cast({n} AS double), 4)"))
+                        F.expr(f"round(_ls.short / {n}, 4)"))
             .withColumn("mean_line_len",
-                        F.expr(f"round({tot} / cast({n} AS double), 4)")))
+                        F.expr(f"round(_ls.tot / {n}, 4)"))
+            .drop("_ls"))
 
 
 def with_char_entropy(df: DataFrame, text_col: str = "text",
@@ -576,17 +664,26 @@ def with_char_entropy(df: DataFrame, text_col: str = "text",
     discipline as ops/curation.dsir_select)."""
     prefix = f"substring(coalesce({text_col}, ''), 1, {max_chars})"
     # filter the '' artifact: split('', '') is [''] in Spark, which
-    # would count the empty string as a character on empty documents
+    # would count the empty string as a character on empty documents.
+    # The char array binds once (r6: it was re-split per distinct char
+    # inside the entropy fold — twice, since the count was spliced
+    # into both p and ln p); the per-char count also binds so each
+    # distinct char runs ONE filter pass instead of two.
     chars = f"filter(split({prefix}, ''), c -> c != '')"
-    dchars = f"array_distinct({chars})"
-    n = f"greatest(size({chars}), 1)"
-    # -sum over distinct chars of p*log2(p), p = count/n
-    ent = (f"-aggregate({dchars}, cast(0.0 AS double), (acc, d) -> "
-           f"acc + (size(filter({chars}, c -> c = d)) / cast({n} AS "
-           f"double)) * (ln(size(filter({chars}, c -> c = d)) / "
-           f"cast({n} AS double)) / ln(2.0d)))")
+    term = _bind("size(filter(cs, c -> c = d))", "k",
+                 "(k / cast(greatest(size(cs), 1) AS double)) * "
+                 "(ln(k / cast(greatest(size(cs), 1) AS double)) / "
+                 "ln(2.0d))")
+    stats = _bind(
+        chars, "cs",
+        f"named_struct("
+        f"'nd', size(array_distinct(cs)), "
+        f"'ent', -aggregate(array_distinct(cs), cast(0.0 AS double), "
+        f"(acc, d) -> acc + {term}))")
     # + 0.0d: normalizes IEEE -0.0 (empty/one-char inputs) to 0.0 so
     # both engines hash the same value
-    return (df.withColumn("n_distinct_chars", F.expr(f"size({dchars})"))
+    return (df.withColumn("_ce", F.expr(stats))
+            .withColumn("n_distinct_chars", F.expr("_ce.nd"))
             .withColumn("char_entropy",
-                        F.expr(f"round({ent}, 4) + cast(0.0 AS double)")))
+                        F.expr("round(_ce.ent, 4) + cast(0.0 AS double)"))
+            .drop("_ce"))
