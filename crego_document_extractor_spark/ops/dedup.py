@@ -236,7 +236,7 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.9,
     scored — O(N²/2^bits) per table instead of the full cross join),
     verified with exact JVM cosine ≥ threshold.  Same scale shape as
     MinHash banding: bucket groupBy, bounded fan-out, exact verify."""
-    from .similarity import _rand_proj_bits, cosine_expr
+    from .similarity import _rand_proj_bits, _with_norm, cosine_pre
 
     frames = []
     for t in range(n_tables):
@@ -247,14 +247,20 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.9,
     b = frames[0]
     for o in frames[1:]:
         b = b.unionByName(o)
+    # pre-cast + per-side norm once (r6): the old form re-ran both
+    # 64-element norm folds per candidate pair inside cosine_expr
+    b = _with_norm(b, "v", "vd", "nv")
     a, c = b.alias("a"), b.alias("b")
     cand = (a.join(c, (F.col("a.tbl") == F.col("b.tbl")) &
                       (F.col("a.bucket") == F.col("b.bucket")) &
                       (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("d1"), F.col("a.v").alias("v1"),
-                    F.col("b.id").alias("d2"), F.col("b.v").alias("v2"))
+            .select(F.col("a.id").alias("d1"), F.col("a.vd").alias("v1"),
+                    F.col("a.nv").alias("n1"),
+                    F.col("b.id").alias("d2"), F.col("b.vd").alias("v2"),
+                    F.col("b.nv").alias("n2"))
             .distinct())
-    return (cand.withColumn("sim", F.expr(cosine_expr("v1", "v2")))
+    return (cand.withColumn("sim", F.expr(cosine_pre("v1", "v2",
+                                                     "n1", "n2")))
             .where(F.col("sim") >= threshold)
             .select("d1", "d2", F.round("sim", 6).alias("sim")))
 
@@ -497,21 +503,24 @@ def semantic_dedup(items: DataFrame, n_cells: int = 8,
 
     Returns the surviving rows of `items` with their ``cell``."""
     from .similarity import (ivf_centroids, ivf_train, ivf_cells_expr,
-                             cosine_expr)
+                             _with_norm, cosine_pre)
     cents = (ivf_train(items, n_cells, n_iter, id_col, vec_col)
              if n_iter else
              ivf_centroids(items, n_cells, id_col, vec_col))
     asg = items.withColumn(
         "cell", F.expr(ivf_cells_expr(cents, vec_col, 1))[0])
-    a = asg.select(F.col("cell").alias("_c"),
+    # pre-cast + per-side norm once (r6): the within-cell quadratic
+    # scored both norm folds per pair through cosine_expr
+    asn = _with_norm(asg, vec_col, "_vd", "_nv")
+    a = asn.select(F.col("cell").alias("_c"),
                    F.col(id_col).alias("d1"),
-                   F.col(vec_col).alias("_v1"))
-    b = asg.select(F.col("cell").alias("_c"),
+                   F.col("_vd").alias("_v1"), F.col("_nv").alias("_n1"))
+    b = asn.select(F.col("cell").alias("_c"),
                    F.col(id_col).alias("d2"),
-                   F.col(vec_col).alias("_v2"))
+                   F.col("_vd").alias("_v2"), F.col("_nv").alias("_n2"))
     pairs = (a.join(b, "_c")
              .where(F.col("d1") < F.col("d2"))
-             .where(F.expr(f"{cosine_expr('_v1', '_v2')} >= "
+             .where(F.expr(f"{cosine_pre('_v1', '_v2', '_n1', '_n2')} >= "
                            f"{float(threshold)!r}d"))
              .select("d1", "d2"))
     clusters = duplicate_clusters(pairs)

@@ -18,6 +18,16 @@ DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS dou
        "0.0d, (acc, v) -> acc + v)")
 NORM = "sqrt(aggregate({a}, 0.0d, (acc, v) -> acc + cast(v AS double) * cast(v AS double)))"
 
+#: pre-cast-double variants (r6): when a side's vectors are scored
+#: against MANY partners, cast the array and take its norm ONCE PER
+#: SIDE before the join — `cosine_expr` inlines both norm folds (and
+#: the per-element casts) into the scored projection, re-running them
+#: per pair.  Same element order, same double arithmetic: values are
+#: bit-identical to `cosine_expr`.
+TO_D = "transform({v}, x -> cast(x AS double))"
+NORM_D = "sqrt(aggregate({v}, 0.0d, (acc, x) -> acc + x * x))"
+DOT_D = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+
 
 def cosine_expr(a: str, b: str) -> str:
     na, nb = NORM.format(a=a), NORM.format(a=b)
@@ -26,16 +36,35 @@ def cosine_expr(a: str, b: str) -> str:
             f"ELSE {d} / ({na} * {nb}) END)")
 
 
+def cosine_pre(a: str, b: str, na: str, nb: str) -> str:
+    """cosine over pre-cast double arrays with precomputed norms —
+    bit-identical to `cosine_expr` (same zero-norm rule, same op
+    order), only the per-pair work shrinks to the dot product."""
+    d = DOT_D.format(a=a, b=b)
+    return (f"(CASE WHEN {na} = 0.0d OR {nb} = 0.0d THEN 0.0d "
+            f"ELSE {d} / ({na} * {nb}) END)")
+
+
+def _with_norm(df: DataFrame, src_col: str, vec_alias: str,
+               norm_alias: str) -> DataFrame:
+    """Append the pre-cast double array + its norm for one side."""
+    return (df.withColumn(vec_alias, F.expr(TO_D.format(v=src_col)))
+            .withColumn(norm_alias, F.expr(NORM_D.format(v=vec_alias))))
+
+
 def brute_force_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k neighbors per query (queries broadcast)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
-    c = items.select(F.col(id_col).alias("cand_id"),
-                     F.col(vec_col).alias("cv"))
+    """Exact top-k neighbors per query (queries broadcast; norms
+    precomputed per side — r6)."""
+    q = _with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                  F.col(vec_col).alias("_q0")),
+                   "_q0", "qv", "nq").drop("_q0")
+    c = _with_norm(items.select(F.col(id_col).alias("cand_id"),
+                                F.col(vec_col).alias("_c0")),
+                   "_c0", "cv", "nc").drop("_c0")
     scored = (c.join(F.broadcast(q))
               .where("query_id != cand_id")
-              .withColumn("sim", F.expr(cosine_expr("qv", "cv"))))
+              .withColumn("sim", F.expr(cosine_pre("qv", "cv", "nq", "nc"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -75,15 +104,19 @@ def lsh_topk(items: DataFrame, queries: DataFrame, k: int = 10,
         res = out[0]
         for o in out[1:]:
             res = res.unionByName(o)
-        return res
+        # pre-cast + per-side norm once (r6) — scored per bucket pair
+        return _with_norm(res, f"{role[0]}v", f"_{role[0]}vd",
+                          f"n{role[0]}")
 
     q = bucketed(queries, "query")
     c = bucketed(items, "cand")
     cand = (q.join(c, ["tbl", "bucket"])
             .where("query_id != cand_id")
-            .select("query_id", "qv", "cand_id", "cv")
+            .select("query_id", F.col("_qvd").alias("qv"), "nq",
+                    "cand_id", F.col("_cvd").alias("cv"), "nc")
             .distinct())
-    scored = cand.withColumn("sim", F.expr(cosine_expr("qv", "cv")))
+    scored = cand.withColumn("sim", F.expr(cosine_pre("qv", "cv",
+                                                      "nq", "nc")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -176,16 +209,21 @@ def ivf_topk(items: DataFrame, queries: DataFrame, k: int = 10,
     window over candidates (|items| × nprobe / n_cells rows, not
     |items| × |queries|)."""
     cents = centroids or ivf_centroids(items, n_cells, id_col, vec_col)
-    it = items.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-        F.expr(ivf_cells_expr(cents, vec_col, 1))[0].alias("cell"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(F.expr(ivf_cells_expr(cents, vec_col, nprobe)))
-        .alias("cell"))
+    it = _with_norm(
+        items.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_c0"),
+            F.expr(ivf_cells_expr(cents, vec_col, 1))[0].alias("cell")),
+        "_c0", "cv", "nc").drop("_c0")
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q0"),
+            F.explode(F.expr(ivf_cells_expr(cents, vec_col, nprobe)))
+            .alias("cell")),
+        "_q0", "qv", "nq").drop("_q0")
     scored = (it.join(F.broadcast(q), "cell")
               .where("query_id != cand_id")
-              .withColumn("sim", F.expr(cosine_expr("qv", "cv"))))
+              .withColumn("sim", F.expr(cosine_pre("qv", "cv",
+                                                   "nq", "nc"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
