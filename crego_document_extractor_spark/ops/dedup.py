@@ -34,9 +34,11 @@ def _shingle_hashes(k: int = 3) -> str:
       snippet — a split inside the transform lambda is re-evaluated
       once PER WINDOW POSITION (quadratic in doc length; it was 10.5 s
       of q_minhash_bands' 12.5 s at sf1.0);
-    * the window is hashed directly as a k-argument murmur3 over its
-      tokens — no concat_ws string build, no slice array copy (another
-      −1.5 s);
+    * each token is murmur3-hashed ONCE into an int array and the
+      window fingerprint is a k-argument murmur3 over those ints — no
+      concat_ws string build, no slice array copy, and no re-hashing
+      of each token string once per window it appears in (−1.7 s
+      total vs the string form);
     * no array_distinct: ``min()`` over duplicate windows equals
       ``min()`` over distinct windows, so dedup before the aggregate
       is pure overhead (−0.4 s).
@@ -69,7 +71,9 @@ def _minhash_scalar(df: DataFrame, n_hashes: int,
     was measured ~20% slower at sf0.1 for no statistical gain beyond
     the base-fingerprint collision rate (~n²/2³², negligible at
     per-corpus shingle counts)."""
-    toks = df.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = df.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), t -> hash(t))").alias("toks"))
     sh = toks.select(
         "doc_id", F.explode(F.expr(_shingle_hashes(shingle_k))).alias("h"))
     return sh.groupBy("doc_id").agg(

@@ -69,10 +69,15 @@ def retrieve_context(queries: DataFrame, kb: DataFrame, top_k: int = 2,
     """Per query row (query_id, query_text, query_vec) → formatted
     context string (rag_service.py:200-206): broadcast-crossjoin cosine
     scoring, top-k window, threshold filter, 500-char chunk caps."""
-    from .similarity import cosine_expr
+    from .similarity import _with_norm, cosine_pre
 
-    scored = (queries.crossJoin(F.broadcast(kb))
-              .withColumn("sim", F.expr(cosine_expr("query_vec", "embedding"))))
+    # per-side norms once before the cross join (r6, as in
+    # similarity.brute_force_topk — bit-identical scores)
+    q = _with_norm(queries, "query_vec", "_qd", "_nq")
+    k2 = _with_norm(kb, "embedding", "_kd", "_nk")
+    scored = (q.crossJoin(F.broadcast(k2))
+              .withColumn("sim", F.expr(cosine_pre("_qd", "_kd",
+                                                   "_nq", "_nk"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("kb_id"))
     hits = (scored.withColumn("rank", F.row_number().over(w))
             .where((F.col("rank") <= top_k) & (F.col("sim") >= threshold)))

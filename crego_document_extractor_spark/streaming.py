@@ -56,7 +56,11 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
               .parquet(input_dir))
 
     def process(batch_df, batch_id: int) -> None:
-        results = extract_parameters(parse_documents(batch_df))
+        # extract_from_raw, not extract_parameters(parse_documents(..)):
+        # it picks the fused single-Python-stage plan for the udf
+        # engine (r6) — semantically identical either way
+        from .pipeline import extract_from_raw
+        results = extract_from_raw(batch_df)
         (results.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{output_dir}/results"))
 
