@@ -111,6 +111,23 @@ def extract_from_raw(docs: DataFrame, mode: str = "embedding",
     from .extract.crif import default_engine
     engine = default_engine(n_docs)
     fuse = mode == "embedding" and engine == "udf"
+    if fuse:
+        # r6 (guide §4.1 — ship only the columns/rows the opaque stage
+        # needs): the fused output is consumed exclusively through
+        # extract_all_udf's doc-kind CASE, which emits an EMPTY result
+        # array for every kind other than crif/gstr — so those
+        # documents' spans are never observable downstream and need
+        # not cross the Arrow boundary nor be parsed at all.  Blank
+        # them JVM-side (~40% of the bench corpus is html: −0.5 s of
+        # Arrow transfer + Python parse at 240k docs); the per-doc
+        # result rows are identical either way (parity suite).
+        from .parse import DOC_KIND_SQL, SPAN_TYPE
+        empty = (f"CAST(array() AS "
+                 f"ARRAY<STRUCT<kind: STRING, text: STRING, "
+                 f"media_ref: STRING, offset: INT>>)")
+        docs = docs.withColumn("spans", F.expr(
+            f"CASE WHEN {DOC_KIND_SQL} IN ('crif', 'gstr') "
+            f"THEN spans ELSE {empty} END"))
     return extract_parameters(parse_documents(docs, fuse_retrieval=fuse),
                               mode=mode, n_docs=n_docs)
 
