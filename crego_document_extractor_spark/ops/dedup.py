@@ -25,57 +25,45 @@ def exact_duplicates(df: DataFrame) -> DataFrame:
             .where("n > 1"))
 
 
-def _shingle_hashes(k: int = 3) -> str:
-    """32-bit fingerprint per k-token window over a MATERIALIZED
-    ``toks`` column.  Three deliberate choices, each measured at
-    sf1.0/50k docs (r6 optimization round, guide §2.3/§4.1):
-
-    * ``toks`` must be a bound COLUMN, not a spliced ``split(text,' ')``
-      snippet — a split inside the transform lambda is re-evaluated
-      once PER WINDOW POSITION (quadratic in doc length; it was 10.5 s
-      of q_minhash_bands' 12.5 s at sf1.0);
-    * each token is murmur3-hashed ONCE into an int array and the
-      window fingerprint is a k-argument murmur3 over those ints — no
-      concat_ws string build, no slice array copy, and no re-hashing
-      of each token string once per window it appears in (−1.7 s
-      total vs the string form);
-    * no array_distinct: ``min()`` over duplicate windows equals
-      ``min()`` over distinct windows, so dedup before the aggregate
-      is pure overhead (−0.4 s).
-
-    The CASE guard matters: sequence(1, 0) is DESCENDING [1, 0] in
-    Spark, so the un-guarded form emits phantom windows on docs with
-    < k tokens (and element_at past the end throws under ANSI)."""
-    args = ", ".join("element_at(toks, i)" if j == 0 else
-                     f"element_at(toks, i + {j})" for j in range(k))
-    return (f"CASE WHEN size(toks) >= {k} THEN "
-            f"transform(sequence(1, size(toks) - {k - 1}), "
-            f"i -> hash({args})) "
-            f"ELSE CAST(array() AS ARRAY<INT>) END")
-
-
 def _minhash_scalar(df: DataFrame, n_hashes: int,
                     shingle_k: int) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — one explode of the window-hash set, then
-    n scalar ``min(...)`` aggregates.  Scalar hash + min are
-    whole-stage-codegen with map-side partial aggregation, so the
-    shuffle carries one (doc_id, n ints) row per doc per map task —
-    unlike the former n interpreted ``transform`` passes per document
-    (CodegenFallback, the round-1 56 s hot spot).
+    """(doc_id, h0..h{n-1}) — explode the window START POSITIONS, hash
+    each k-token window in the codegen projection above the Generate,
+    then n scalar ``min(...)`` aggregates.  Everything after the split
+    is whole-stage codegen (Generate + Project + partial HashAggregate
+    fuse into one stage, so the token array is a single per-input-row
+    reference — no per-window copies), and the shuffle carries one
+    (doc_id, n ints) row per doc per map task.
 
-    Each k-token window is hashed ONCE to a 32-bit fingerprint
-    (murmur3 over the k tokens, `_shingle_hashes`) and the n seeded
-    values derive from that int (``hash(h, seed)``) — the standard
-    single-basis + per-permutation-mix construction (datasketch uses
-    one SHA1 basis the same way); hashing full shingle strings n times
-    was measured ~20% slower at sf0.1 for no statistical gain beyond
-    the base-fingerprint collision rate (~n²/2³², negligible at
-    per-corpus shingle counts)."""
-    toks = df.select(
-        "doc_id",
-        F.expr("transform(split(text, ' '), t -> hash(t))").alias("toks"))
-    sh = toks.select(
-        "doc_id", F.explode(F.expr(_shingle_hashes(shingle_k))).alias("h"))
+    r6 history, each step measured at sf1.0/50k docs (guide §1.2):
+    the original spliced ``split(text,' ')`` INSIDE the window lambda
+    re-tokenized the doc once per window position (10.5 s of the
+    query's 12.5 s); binding the array and hashing windows in the
+    lambda cut it to ~1.6 s; moving the window hash OUT of the
+    interpreted lambda into the codegen projection over exploded
+    positions halves it again (~0.9 s).  `array_distinct` on windows
+    stays dropped — min() over duplicates equals min() over distinct.
+
+    Each k-token window is fingerprinted once (k-argument murmur3 over
+    its tokens) and the n seeded values derive from that int
+    (``hash(h, seed)``) — the standard single-basis +
+    per-permutation-mix construction (datasketch uses one SHA1 basis
+    the same way).
+
+    The CASE guard matters: sequence(1, 0) is DESCENDING [1, 0] in
+    Spark, so the un-guarded form emits phantom positions on docs with
+    < k tokens (and element_at past the end throws under ANSI)."""
+    k = shingle_k
+    toks = df.select("doc_id", F.split("text", " ").alias("toks"))
+    pos = toks.select(
+        "doc_id", "toks",
+        F.explode(F.expr(
+            f"CASE WHEN size(toks) >= {k} THEN "
+            f"sequence(1, size(toks) - {k - 1}) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END")).alias("i"))
+    args = ", ".join("element_at(toks, i)" if j == 0 else
+                     f"element_at(toks, i + {j})" for j in range(k))
+    sh = pos.select("doc_id", F.expr(f"hash({args})").alias("h"))
     return sh.groupBy("doc_id").agg(
         *[F.min(F.expr(f"hash(h, {seed})")).alias(f"h{seed}")
           for seed in range(n_hashes)])
@@ -138,16 +126,17 @@ def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
     the token split and per-token hash() INSIDE the per-bit lambda, so
     each document was split and murmur3-hashed `bits` times over, and
     the per-bit majority votes ran as interpreted HOF filters.  Now
-    the token hashes explode once and the per-bit counts are scalar
-    ``sum((h >> b) & 1)`` whole-stage-codegen aggregates with map-side
-    partial aggregation (the `_minhash_scalar` shape: the shuffle
-    carries one slim count row per doc per map task).  Identical hash
-    inputs, identical majority rule → bit-identical signatures;
-    measured 12.3 s → 1.9 s at sf1.0/50k docs."""
-    t = df.select(
-        "doc_id",
-        F.explode(F.expr("transform(split(text, ' '), t -> hash(t))"))
-        .alias("h"))
+    the tokens explode straight off the split (Generate + the hash
+    projection + the partial aggregate fuse into one codegen stage —
+    no interpreted lambda anywhere) and the per-bit counts are scalar
+    ``sum((h >> b) & 1)`` aggregates with map-side combine (the
+    `_minhash_scalar` shape: the shuffle carries one slim count row
+    per doc per map task).  Identical hash inputs, identical majority
+    rule → bit-identical signatures; 12.3 s → 1.9 s (interpreted
+    transform) → 1.1 s (codegen explode) at sf1.0/50k docs."""
+    t = (df.select("doc_id",
+                   F.explode(F.split("text", " ")).alias("tok"))
+         .select("doc_id", F.expr("hash(tok)").alias("h")))
     agg = t.groupBy("doc_id").agg(
         F.count("*").alias("n"),
         *[F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"c{b}")

@@ -165,17 +165,19 @@ def ngram_topk(df: DataFrame, n: int = 2, k: int = 20,
     pure counts.  The distinct-doc count rides the same aggregation
     via the expand path.  Global top-k is a TakeOrdered (no total
     sort)."""
-    # the token array binds as a COLUMN before the gram transform —
-    # spliced into the lambda it would re-split the text per gram
-    # position (r6; the CASE guard matters: sequence(1, 0) is
-    # DESCENDING [1, 0] in Spark, crashing docs with < n tokens)
+    # explode the gram START POSITIONS and build the gram string in
+    # the codegen projection above the Generate (r6: the transform-
+    # lambda form ran interpreted per gram — and the round-start
+    # version additionally re-split the text per position; the CASE
+    # guard matters: sequence(1, 0) is DESCENDING [1, 0] in Spark)
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    grams = (f"CASE WHEN size(toks) >= {n} THEN "
-             f"transform(sequence(1, size(toks) - {n - 1}), "
-             f"i -> concat_ws(' ', slice(toks, i, {n}))) "
-             f"ELSE CAST(array() AS ARRAY<STRING>) END")
     return (df.select("doc_id", F.expr(toks).alias("toks"))
-            .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+            .select("doc_id", "toks", F.explode(F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"sequence(1, size(toks) - {n - 1}) "
+                f"ELSE CAST(array() AS ARRAY<INT>) END")).alias("i"))
+            .select("doc_id", F.expr(
+                f"concat_ws(' ', slice(toks, i, {n}))").alias("gram"))
             .groupBy("gram")
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct("doc_id").alias("n_docs"))
@@ -372,15 +374,20 @@ def train_quality_classifier(df: DataFrame, label_col: str = "label",
     return w, b
 
 
-#: BOS-framed bigram pairs over a bound `toks` column (shared by
-#: training and scoring; the CASE guard handles the sub-1-token doc)
-_BI_PAIRS = ("CASE WHEN size(toks) >= 1 THEN "
-             "transform(sequence(1, size(toks)), i -> struct("
-             "CASE WHEN i = 1 THEN '<s>' "
-             "ELSE try_element_at(toks, i - 1) END AS w1, "
-             "try_element_at(toks, i) AS w2)) "
-             "ELSE CAST(array() AS "
-             "ARRAY<STRUCT<w1: STRING, w2: STRING>>) END")
+def _bi_pairs_exploded(src: DataFrame) -> DataFrame:
+    """(doc cols..., w1, w2): BOS-framed bigram pairs off a bound
+    `toks` column — token POSITIONS explode and the pair builds in the
+    codegen projection above the Generate (r6: the transform-lambda
+    form ran interpreted per position; the CASE guard handles the
+    sub-1-token doc — sequence(1, 0) is DESCENDING in Spark)."""
+    keep = [c for c in src.columns if c != "toks"]
+    return (src.select(*keep, "toks", F.explode(F.expr(
+                "CASE WHEN size(toks) >= 1 THEN sequence(1, size(toks)) "
+                "ELSE CAST(array() AS ARRAY<INT>) END")).alias("i"))
+            .select(*keep,
+                    F.expr("CASE WHEN i = 1 THEN '<s>' "
+                           "ELSE element_at(toks, i - 1) END").alias("w1"),
+                    F.expr("element_at(toks, i)").alias("w2")))
 
 
 def ngram_lm_train(df: DataFrame, text_col: str = "text",
@@ -399,11 +406,7 @@ def ngram_lm_train(df: DataFrame, text_col: str = "text",
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
     uni = (df.select(F.explode(F.expr(toks)).alias("w"))
            .groupBy("w").agg(F.count("*").alias("c_w")))
-    # token array bound as a column (r6): spliced into the lambda, the
-    # text was re-split once per token position
-    bi = (df.select(F.expr(toks).alias("toks"))
-          .select(F.explode(F.expr(_BI_PAIRS)).alias("p"))
-          .select("p.w1", "p.w2")
+    bi = (_bi_pairs_exploded(df.select(F.expr(toks).alias("toks")))
           .groupBy("w1", "w2").agg(F.count("*").alias("c_bi")))
     stats = uni.agg(F.count("*").alias("vocab_size"),
                     F.sum("c_w").alias("n_tokens"))
@@ -425,9 +428,8 @@ def with_perplexity(df: DataFrame, bi: DataFrame, stats: DataFrame,
     CCNet drops docs above a per-language percentile of
     ``lm_perplexity`` — composable with `corpus_scorecard`."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t != '')"
-    ids = (df.select("doc_id", F.expr(toks).alias("toks"))
-           .select("doc_id", F.explode(F.expr(_BI_PAIRS)).alias("p"))
-           .select("doc_id", "p.w1", "p.w2"))
+    ids = _bi_pairs_exploded(
+        df.select("doc_id", F.expr(toks).alias("toks")))
     ctx = (bi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx")))
     scored = (ids
               .join(bi, ["w1", "w2"], "left")

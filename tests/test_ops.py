@@ -152,16 +152,15 @@ def test_minhash_signature_matches_hof_formulation(text_df):
 
     got = {r["doc_id"]: list(r["signature"]) for r in
            dedup.minhash_signature(text_df, n_hashes=8, shingle_k=2).collect()}
-    # single-basis construction: hash each token once, fingerprint
-    # each 2-token window as a k-argument murmur3 over the token ints,
-    # derive each seeded value from the window int (matches
-    # _minhash_scalar / _shingle_hashes)
+    # single-basis construction: fingerprint each 2-token window as a
+    # k-argument murmur3 over its tokens, derive each seeded value
+    # from the window int (matches _minhash_scalar)
     sig = ("array(" + ", ".join(
         f"array_min(transform(sh, h -> hash(h, {seed})))"
         for seed in range(8)) + ")")
     sh = ("transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)), "
-          "i -> hash(hash(element_at(split(text, ' '), i)), "
-          "hash(element_at(split(text, ' '), i + 1))))")
+          "i -> hash(element_at(split(text, ' '), i), "
+          "element_at(split(text, ' '), i + 1)))")
     exp_df = (text_df.withColumn("sh", F.expr(sh)).where("size(sh) > 0")
               .select("doc_id", F.expr(sig).alias("signature")))
     exp = {r["doc_id"]: list(r["signature"]) for r in exp_df.collect()}
