@@ -226,8 +226,12 @@ def _q_j2_cosine_topk(spark, sf):
     previous form inlined them into the scored projection, so every
     (query, candidate) pair re-ran both 64-element norm folds and the
     per-element casts in interpreted HOF code (3× the necessary work;
-    only the dot product is genuinely per-pair).  Bit-identical values:
-    same element order, same double arithmetic, same round."""
+    only the dot product is genuinely per-pair).  The per-pair dot
+    itself is an unrolled 64-term codegen sum when the vectors have
+    the expected dimension (an interpreted aggregate/zip_with lambda
+    fold otherwise — lazily-evaluated CASE, so only one branch runs).
+    Bit-identical values: the unrolled sum adds left-to-right exactly
+    like the fold, same double arithmetic, same round."""
     e = _t(spark, sf, "embeddings")
     to_d = "transform(embedding, x -> cast(x AS double))"
     norm = "sqrt(aggregate({v}, 0.0d, (a, x) -> a + x * x))"
@@ -238,10 +242,15 @@ def _q_j2_cosine_topk(spark, sf):
     c = (e.select(F.col("vec_id").alias("cand_id"),
                   F.expr(to_d).alias("cv"))
          .withColumn("nc", F.expr(norm.format(v="cv"))))
-    dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"
+    fold = ("(0.0d + aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+            "0.0d, (a, x) -> a + x))")
+    unrolled = "(0.0d + " + " + ".join(
+        f"qv[{i}] * cv[{i}]" for i in range(64)) + ")"
+    dot = (f"CASE WHEN size(qv) = 64 AND size(cv) = 64 "
+           f"THEN {unrolled} ELSE {fold} END")
     scored = (q.crossJoin(c)
               .where("query_id != cand_id")
-              .withColumn("sim", F.expr(f"round({dot} / (nq * nc), 6)")))
+              .withColumn("sim", F.expr(f"round(({dot}) / (nq * nc), 6)")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where("rank <= 5 AND sim >= -1.0")
