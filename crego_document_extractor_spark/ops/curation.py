@@ -242,24 +242,30 @@ def duplicate_ngram_report(df: DataFrame, n: int = 8, min_docs: int = 2,
     repetition): this is corpus × corpus, so the gram census cannot
     broadcast — the shape is explode(distinct grams per doc) →
     map-side-combined census groupBy(gram) → census filtered to
-    duplicated grams only (usually a small fraction) → join back →
-    per-doc count.  All linear; per-doc array_distinct BEFORE the
-    explode keeps the census a plain count(*), and the post-filter
-    census is the only side that reaches the join."""
+    duplicated grams only (usually a small fraction) → marker left
+    join back → ONE per-doc aggregate producing both counts.  All
+    linear; per-doc array_distinct BEFORE the explode keeps the
+    census a plain count(*).  r6: the gram pipeline (split + distinct
+    + per-window concat) used to be evaluated a third time just for
+    the per-doc `size(...)` denominator, and the dup count rode a
+    second doc_id join — `n_grams` is simply count(*) of the same
+    exploded distinct grams, so one marker left-join + one aggregate
+    yields both columns (values identical: census rows are unique per
+    gram, so the left join never multiplies rows)."""
     grams = df.select(F.col(id_col).alias("doc_id"),
                       F.explode(F.expr(_word_ngrams(text_col, n)))
                       .alias("gram"))
     census = (grams.groupBy("gram")
               .agg(F.count("*").alias("_nd"))
               .where(F.col("_nd") >= min_docs)
-              .drop("_nd"))
-    dup = (grams.join(census, "gram")
-           .groupBy("doc_id")
-           .agg(F.count("*").cast("int").alias("n_dup_grams")))
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.expr(f"size({_word_ngrams(text_col, n)})")
-                     .alias("n_grams"))
-    return (base.join(dup, "doc_id", "left")
+              .select("gram", F.lit(1).alias("_dup")))
+    per_doc = (grams.join(census, "gram", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").cast("int").alias("n_grams"),
+                    F.count("_dup").cast("int").alias("n_dup_grams")))
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (base.join(per_doc, "doc_id", "left")
+            .withColumn("n_grams", F.expr("coalesce(n_grams, 0)"))
             .withColumn("n_dup_grams",
                         F.expr("coalesce(n_dup_grams, 0)"))
             .withColumn("dup_ratio", F.expr(

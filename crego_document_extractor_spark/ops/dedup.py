@@ -364,10 +364,13 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     to strip ubiquitous lines, and AQE skew-join splits the remainder.
     """
     from .curation import _doc_lines
-    ps = _doc_lines(text_col)
+    # bind the line array once (r6): spliced into both size() and the
+    # posexplode, the split+trim+filter pipeline ran twice per row
     e = (df.select(F.col(id_col).alias("doc_id"),
-                   F.expr(f"size({ps})").alias("n_paragraphs"),
-                   F.posexplode_outer(F.expr(ps)).alias("pos0", "para"))
+                   F.expr(_doc_lines(text_col)).alias("_ps"))
+         .select("doc_id",
+                 F.expr("size(_ps)").alias("n_paragraphs"),
+                 F.posexplode_outer("_ps").alias("pos0", "para"))
          .withColumn("pos", F.expr("pos0 + 1")).drop("pos0")
          .withColumn("pkey", F.expr(
              "concat(doc_id, ':', lpad(cast(pos AS string), 9, '0'))")))
@@ -429,14 +432,19 @@ def remove_duplicated_windows(df: DataFrame, n: int = 8,
     base = (df.select(F.col(id_col).alias("doc_id"),
                       F.expr(toks).alias("toks"))
             .withColumn("n_tokens", F.expr("size(toks)")))
-    wins = (f"CASE WHEN n_tokens >= {n} THEN "
-            f"transform(sequence(1, n_tokens - {n} + 1), "
-            f"i -> struct(i AS start, "
-            f"concat_ws(' ', slice(toks, i, {n})) AS gram)) "
-            f"ELSE CAST(array() AS "
-            f"ARRAY<STRUCT<start: INT, gram: STRING>>) END")
-    inst = (base.select("doc_id", F.explode(F.expr(wins)).alias("w"))
-            .select("doc_id", "w.start", "w.gram")
+    # explode the window START POSITIONS and build the gram in the
+    # codegen projection above the Generate (r6, the `_minhash_scalar`
+    # pattern): no interpreted transform lambda, no per-doc
+    # array<struct> materialization — gram strings are identical
+    # (same concat_ws over the same slice)
+    starts = (f"CASE WHEN n_tokens >= {n} THEN "
+              f"sequence(1, n_tokens - {n} + 1) "
+              f"ELSE CAST(array() AS ARRAY<INT>) END")
+    inst = (base.select("doc_id", "toks",
+                        F.explode(F.expr(starts)).alias("start"))
+            .select("doc_id", "start",
+                    F.expr(f"concat_ws(' ', slice(toks, start, {n}))")
+                    .alias("gram"))
             .withColumn("ikey", F.expr(
                 "concat(lpad(cast(doc_id AS string), 12, '0'), ':', "
                 "lpad(cast(start AS string), 9, '0'))")))
